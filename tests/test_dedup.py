@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.functions.udfs import sha256_content
+from pyorchdb_spark.generator import change_events
+from pyorchdb_spark.operators.dedup import final_state, lww_dedup, lww_dedup_salted
+from pyorchdb_spark.oracle import expected_final_state, state_signature
+
+
+def test_lww_dedup_one_row_per_key(spark):
+    ev = change_events(spark, 3_000)
+    out = lww_dedup(ev)
+    assert out.groupBy("repo", "path").count().filter("count > 1").isEmpty()
+    # winner is the max seq per key
+    mx = ev.groupBy("repo", "path").agg(F.max("seq").alias("seq"))
+    assert out.select("repo", "path", "seq").exceptAll(mx).isEmpty()
+
+
+def test_salted_equals_unsalted(spark):
+    ev = change_events(spark, 3_000)
+    a = lww_dedup(ev).select("repo", "path", "seq", "commit", "op")
+    for n_salts in (1, 4, 16):
+        b = lww_dedup_salted(ev, n_salts=n_salts).select("repo", "path", "seq", "commit", "op")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_final_state_matches_pandas_oracle(spark):
+    ev = change_events(spark, 4_000)
+    got = (
+        final_state(ev)
+        .withColumn("content_sha256", sha256_content("content"))
+        .select("repo", "path", "content_sha256")
+        .toPandas()
+    )
+    exp = expected_final_state(ev.toPandas())
+    assert set(map(tuple, got.itertuples(index=False, name=None))) == state_signature(exp)
+
+
+def test_sha256_udf_matches_builtin(spark):
+    ev = change_events(spark, 500)
+    mismatch = ev.withColumn("a", sha256_content("content")).withColumn(
+        "b", F.sha2("content", 256)
+    ).filter("a <> b")
+    assert mismatch.isEmpty()
+
+
+def test_tombstone_erases_key(spark):
+    rows = [
+        ("r1", "a.py", "c1", 1, "upsert", "python", "x", "b0"),
+        ("r1", "a.py", "c2", 2, "delete", "python", "", "b0"),
+        ("r1", "b.py", "c3", 3, "delete", "python", "", "b0"),
+        ("r1", "b.py", "c4", 4, "upsert", "python", "y", "b0"),  # revive
+    ]
+    ev = spark.createDataFrame(rows, "repo string, path string, commit string, seq long, op string, lang string, content string, batch_id string")
+    out = {(r["path"], r["content"]) for r in final_state(ev).collect()}
+    assert out == {("b.py", "y")}

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.generator import change_events
+
+
+def test_generator_deterministic_across_partitioning(spark):
+    a = change_events(spark, 2_000, num_partitions=2)
+    b = change_events(spark, 2_000, num_partitions=7)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_generator_shape_and_pathologies(spark):
+    n = 5_000
+    df = change_events(spark, n, batch_size=1_000, evolution_batch=3).cache()
+    try:
+        assert df.columns == [
+            "repo", "path", "commit", "seq", "op", "lang", "content", "batch_id", "ts", "lang_variant",
+        ]
+        total = df.count()
+        assert total > n  # duplicate deliveries re-emitted
+        stats = df.agg(
+            F.countDistinct("repo").alias("repos"),
+            F.countDistinct("batch_id").alias("batches"),
+            F.sum((F.col("op") == "delete").cast("int")).alias("deletes"),
+            F.min(F.length("content")).alias("minlen"),
+            F.max(F.length("content")).alias("maxlen"),
+        ).first()
+        assert stats["batches"] == 5
+        assert 0.05 * total < stats["deletes"] < 0.15 * total
+        assert stats["minlen"] >= 64 and stats["maxlen"] <= 4200
+        # multiple versions per key on average
+        keys = df.select("repo", "path").distinct().count()
+        assert total / keys > 2.0
+        # skew: hottest repo holds far more than the uniform share
+        top = df.groupBy("repo").count().orderBy(F.desc("count")).first()["count"]
+        assert top > 5 * (total / stats["repos"])
+        # evolution column null before batch 3, populated after
+        assert df.filter((F.col("batch_id") < "b000003") & F.col("lang_variant").isNotNull()).isEmpty()
+        assert df.filter((F.col("batch_id") >= "b000003") & F.col("lang_variant").isNotNull()).count() > 0
+        # duplicates are exact duplicates (same seq → identical row)
+        dup_groups = df.groupBy("seq").count().filter("count > 1")
+        distinct_dup = df.join(dup_groups.select("seq"), "seq", "left_semi").dropDuplicates(["seq"]).count()
+        assert dup_groups.count() == distinct_dup
+    finally:
+        df.unpersist()
