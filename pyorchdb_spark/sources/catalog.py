@@ -1,0 +1,113 @@
+"""Batch-marker ledger + lineage metrics — the reference's EventController, reborn.
+
+The reference persists ``catalog.csv`` (file name + timestamp) and diffs
+it against the current listing to skip already-processed inputs
+(PyOrchDB/utilities/catalog.py:50-109). The engine generalizes this to:
+
+- **markers**: one JSON file per committed ``batch_id``
+  (``_markers/{batch_id}.json``), published by atomic rename. The gate is
+  an O(1) existence check on the driver (no Spark job), and the whole
+  ledger is Spark-readable for the anti-join form of the gate (J1 in
+  SURVEY.md section 2.3).
+- **lineage**: an append-only parquet table of per-batch per-partition
+  metrics (rows in/deduped/tombstones, max seq, merge outcome counts) —
+  replacing the reference's per-directory log files
+  (PyOrchDB/main.py:342-352).
+
+Crash safety: markers are written *after* the lake-table manifest commit.
+A crash in between re-runs the batch, which is a no-op because the merge
+itself is idempotent (LWW-by-seq — SURVEY.md section 7, hard part 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MARKER_SCHEMA = "batch_id string, version long, rows_in long, committed_at double"
+LINEAGE_SCHEMA = (
+    "batch_id string, partition_id int, rows_in long, tombstones long, "
+    "max_seq long, table_rows_after long"
+)
+
+
+class BatchLedger:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.markers_dir = os.path.join(self.root, "_markers")
+        self.lineage_dir = os.path.join(self.root, "_lineage")
+        os.makedirs(self.markers_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # ---------- markers (exactly-once gate) ----------
+
+    def is_committed(self, batch_id: str) -> bool:
+        return os.path.exists(os.path.join(self.markers_dir, f"{batch_id}.json"))
+
+    def commit_marker(self, batch_id: str, version: int, rows_in: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.markers_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "version": version,
+                    "rows_in": rows_in,
+                    "committed_at": time.time(),
+                },
+                fh,
+            )
+        os.rename(tmp, os.path.join(self.markers_dir, f"{batch_id}.json"))
+
+    def markers(self) -> DataFrame:
+        """The ledger as a DataFrame (for the anti-join gate at scale)."""
+        files = [
+            os.path.join(self.markers_dir, f)
+            for f in os.listdir(self.markers_dir)
+            if f.endswith(".json")
+        ]
+        if not files:
+            return self.spark.createDataFrame([], MARKER_SCHEMA)
+        return self.spark.read.schema(MARKER_SCHEMA).json(files)
+
+    def filter_uncommitted(self, events: DataFrame, batch_col: str = "batch_id") -> DataFrame:
+        """J1: drop events of already-committed batches via broadcast anti-join.
+
+        The marker table is small (one row per batch) → always broadcast;
+        the event stream is never shuffled by this gate.
+        """
+        m = self.markers().select(F.col("batch_id").alias(batch_col)).distinct()
+        return events.join(F.broadcast(m), on=batch_col, how="left_anti")
+
+    # ---------- lineage ----------
+
+    def record_lineage(self, batch_id: str, source_events: DataFrame, table_rows_after: int) -> None:
+        """Per-partition ingest metrics for this batch, appended as parquet."""
+        per_part = (
+            source_events.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
+                F.max("seq").alias("max_seq"),
+            )
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col("partition_id").cast("int"),
+                F.col("rows_in"),
+                F.col("tombstones"),
+                F.col("max_seq"),
+                F.lit(table_rows_after).cast("long").alias("table_rows_after"),
+            )
+        )
+        per_part.write.mode("append").parquet(self.lineage_dir)
+
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)

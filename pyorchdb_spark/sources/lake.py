@@ -1,0 +1,341 @@
+"""LakeTable — parquet + JSON-manifest table format with MERGE semantics.
+
+The design point is an Iceberg table (SURVEY.md section 7 M2); the Iceberg
+runtime jar cannot be sourced in this offline sandbox, so this module
+implements the documented fallback: the same transactional surface —
+snapshot-isolated commits, MERGE INTO upsert/delete, additive schema
+evolution, time travel by version — on plain parquet with a tiny
+JSON manifest layer. The public API is format-agnostic; swapping in real
+Iceberg means replacing this module only.
+
+Layout (all under one table root):
+
+    _manifests/v{N:08d}.json   -- one per commit; atomic os.rename publish
+    data/commit-{N:08d}/*.parquet
+    _markers/{batch_id}.json   -- exactly-once ledger (see catalog.py)
+    _lineage/                  -- per-batch per-partition metrics parquet
+
+Manifest = {version, parent, batch_id, schema(json), files:[{path, rows,
+min_key, max_key}]} where key = repo || '\\x00' || path (one sortable
+composite key, enabling file-level key-range pruning).
+
+Scale notes (why this survives 100 TB):
+- MERGE is copy-on-write **per affected file**, not per table: source
+  keys are range-joined against per-file key bounds (a tiny broadcast
+  nested-loop join against the manifest), and only overlapping files are
+  rewritten; everything else is carried by reference into the next
+  manifest. A 10^10-row table touched by a 10^6-row batch rewrites only
+  the files the batch's keys land in.
+- Output files are ``repartitionByRange`` over the composite key, so file
+  key-ranges stay near-disjoint and pruning stays effective commit after
+  commit (the same reason Iceberg sorts on a key column).
+- Reads use the manifest's explicit schema (``spark.read.schema``), so no
+  footer-merging scan (``mergeSchema``) is ever needed, and old files
+  simply surface nulls for columns added later — additive evolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pyorchdb_spark.operators.dedup import DEFAULT_KEYS
+from pyorchdb_spark.plans.merge import resolve_merge
+
+KEY_SEP = "\x00"
+
+
+def composite_key(keys: Sequence[str] = DEFAULT_KEYS):
+    return F.concat_ws(KEY_SEP, *[F.col(k) for k in keys])
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    batch_id: str | None
+    schema_json: str
+    files: list[dict] = field(default_factory=list)
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "batch_id": self.batch_id,
+                "schema": json.loads(self.schema_json),
+                "files": self.files,
+            }
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(
+            version=d["version"],
+            parent=d.get("parent"),
+            batch_id=d.get("batch_id"),
+            schema_json=json.dumps(d["schema"]),
+            files=d["files"],
+        )
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this manifest version first."""
+
+
+class LakeTable:
+    """One keyed lake table at a directory root."""
+
+    def __init__(self, spark: SparkSession, root: str, keys: Sequence[str] = DEFAULT_KEYS):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.keys = tuple(keys)
+        os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    # ---------- manifest plumbing ----------
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def current_version(self) -> int | None:
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self._manifest_dir())
+            if (m := re.fullmatch(r"v(\d{8})\.json", f))
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> Manifest | None:
+        version = version if version is not None else self.current_version()
+        if version is None:
+            return None
+        with open(os.path.join(self._manifest_dir(), f"v{version:08d}.json")) as fh:
+            return Manifest.from_json(fh.read())
+
+    def _publish(self, manifest: Manifest) -> None:
+        """Atomic commit: write temp file, rename into place (no overwrite)."""
+        target = os.path.join(self._manifest_dir(), f"v{manifest.version:08d}.json")
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir(), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(manifest.to_json())
+        if os.path.exists(target):
+            os.unlink(tmp)
+            raise ConcurrentCommitError(target)
+        os.rename(tmp, target)
+
+    # ---------- read path ----------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Table state at a version (default: latest). Empty table → empty DF."""
+        m = self.manifest(version)
+        if m is None or not m.files:
+            schema = m.schema() if m else StructType()
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f["path"]) for f in m.files]
+        return self.spark.read.schema(m.schema()).parquet(*paths)
+
+    def is_empty(self) -> bool:
+        m = self.manifest()
+        return m is None or not m.files
+
+    # ---------- write path ----------
+
+    def _write_data_files(self, df: DataFrame, version: int, num_files: int | None) -> list[dict]:
+        """Write rows range-partitioned by composite key; return file stats."""
+        out_rel = f"data/commit-{version:08d}"
+        out_dir = os.path.join(self.root, out_rel)
+        key = composite_key(self.keys)
+        n = num_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        (
+            df.repartitionByRange(n, key)
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = self.spark.read.schema(df.schema).parquet(out_dir)
+        stats = (
+            written.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(composite_key(self.keys)).alias("min_key"),
+                F.max(composite_key(self.keys)).alias("max_key"),
+            )
+            .collect()
+        )
+        out = []
+        for r in stats:
+            p = r["file"]
+            p = p[7:] if p.startswith("file://") else p
+            out.append(
+                {
+                    "path": os.path.join(out_rel, os.path.basename(p)),
+                    "rows": r["rows"],
+                    "min_key": r["min_key"],
+                    "max_key": r["max_key"],
+                }
+            )
+        return sorted(out, key=lambda f: f["path"])
+
+    def _affected_files(self, m: Manifest, source: DataFrame) -> tuple[list[dict], list[dict]]:
+        """Split manifest files into (affected, untouched) by key-range overlap.
+
+        The bounds table is tiny (one row per file, driver-side already),
+        so this is a broadcast join against the source's distinct keys —
+        a metadata-scale operation, never a table scan.
+        """
+        if not m.files:
+            return [], []
+        bounds = self.spark.createDataFrame(
+            [(f["path"], f["min_key"], f["max_key"]) for f in m.files],
+            "path string, min_key string, max_key string",
+        )
+        skeys = source.select(composite_key(self.keys).alias("k")).distinct()
+        # Inner BNLJ streaming the (potentially large) key set against the
+        # broadcast bounds, then distinct over the tiny path column.
+        hit = (
+            skeys.join(
+                F.broadcast(bounds),
+                (F.col("k") >= F.col("min_key")) & (F.col("k") <= F.col("max_key")),
+                "inner",
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        hit_paths = {r["path"] for r in hit}
+        affected = [f for f in m.files if f["path"] in hit_paths]
+        untouched = [f for f in m.files if f["path"] not in hit_paths]
+        return affected, untouched
+
+    @staticmethod
+    def _evolve_schema(old: StructType, batch_schema: StructType) -> StructType:
+        """Additive evolution: append columns the target hasn't seen.
+
+        Maps the reference's "a later file introduces a new column"
+        behavior (pandas concat fills NaN) to explicit schema DDL — the
+        Iceberg ALTER TABLE ADD COLUMNS analogue (SURVEY.md section 4.3).
+        Type changes are rejected: evolution here is additive only.
+        """
+        have = {f.name: f for f in old.fields}
+        fields = list(old.fields)
+        for f in batch_schema.fields:
+            if f.name not in have:
+                fields.append(f)
+            elif have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"non-additive schema change on column {f.name!r}: "
+                    f"{have[f.name].dataType} -> {f.dataType}"
+                )
+        return StructType(fields)
+
+    def merge(
+        self,
+        source_events: DataFrame,
+        batch_id: str | None = None,
+        *,
+        salted: bool = False,
+        n_salts: int = 16,
+        num_files: int | None = None,
+    ) -> Manifest:
+        """MERGE INTO this table: upsert/delete with LWW-by-seq semantics.
+
+        Copy-on-write over affected files only. Idempotent: merging the
+        same batch twice yields byte-identical state.
+        """
+        m = self.manifest()
+        version = (m.version if m else 0) + 1
+        state_schema = StructType(
+            [f for f in source_events.schema.fields if f.name != "op"]
+        )
+
+        if m is None or not m.files:
+            merged = resolve_merge(
+                self.spark.createDataFrame([], state_schema),
+                source_events,
+                keys=self.keys,
+                salted=salted,
+                n_salts=n_salts,
+            )
+            new_schema = state_schema if m is None else self._evolve_schema(m.schema(), state_schema)
+            untouched: list[dict] = []
+        else:
+            new_schema = self._evolve_schema(m.schema(), state_schema)
+            affected, untouched = self._affected_files(m, source_events)
+            if affected:
+                paths = [os.path.join(self.root, f["path"]) for f in affected]
+                target_rows = self.spark.read.schema(m.schema()).parquet(*paths)
+            else:
+                target_rows = self.spark.createDataFrame([], m.schema())
+            merged = resolve_merge(
+                target_rows, source_events, keys=self.keys, salted=salted, n_salts=n_salts
+            )
+
+        # Align to evolved schema (stable column order across commits).
+        merged = merged.select(*[F.col(f.name) for f in new_schema.fields])
+        new_files = self._write_data_files(merged, version, num_files)
+        manifest = Manifest(
+            version=version,
+            parent=m.version if m else None,
+            batch_id=batch_id,
+            schema_json=json.dumps(new_schema.jsonValue()),
+            files=sorted(untouched + new_files, key=lambda f: f["path"]),
+        )
+        self._publish(manifest)
+        return manifest
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None, num_files: int | None = None) -> Manifest:
+        """Replace the whole table state (initial load / test setup)."""
+        m = self.manifest()
+        version = (m.version if m else 0) + 1
+        new_files = self._write_data_files(df, version, num_files)
+        manifest = Manifest(
+            version=version,
+            parent=m.version if m else None,
+            batch_id=batch_id,
+            schema_json=json.dumps(df.schema.jsonValue()),
+            files=new_files,
+        )
+        self._publish(manifest)
+        return manifest
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the newest ``keep_versions``
+        manifests (time-travel GC). Returns deleted relative paths."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep = set()
+        kept_versions = range(max(1, cur - keep_versions + 1), cur + 1)
+        for v in kept_versions:
+            mf = self.manifest(v)
+            if mf:
+                keep.update(f["path"] for f in mf.files)
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        for commit_dir in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_dir)
+            for fname in os.listdir(cdir):
+                rel = os.path.join("data", commit_dir, fname)
+                if rel not in keep and fname.endswith(".parquet"):
+                    os.unlink(os.path.join(cdir, fname))
+                    deleted.append(rel)
+        # drop manifests older than the keep window
+        for f in os.listdir(self._manifest_dir()):
+            if (mm := re.fullmatch(r"v(\d{8})\.json", f)) and int(mm.group(1)) < min(kept_versions):
+                os.unlink(os.path.join(self._manifest_dir(), f))
+        return deleted
