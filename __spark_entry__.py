@@ -1,38 +1,506 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Conventions used throughout:
+- the driver ``events`` table doubles as a generic change log:
+  key = user_id, sequence = event_id, op = 'delete' when
+  event_type = 'error' else 'upsert' (SURVEY.md section 5);
+- every computed column is aliased identically in the Spark plan and the
+  DuckDB SQL; ratios are exact rationals (int/int in double) so value
+  hashes agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyorchdb_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
+    lang_id,
+    stopword_ratio,
+    token_count,
+)
+from pyorchdb_spark.operators.dedup import lww_dedup, lww_dedup_salted  # noqa: E402
+from pyorchdb_spark.operators.dedup_docs import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pyorchdb_spark.operators.similarity import brute_force_topk  # noqa: E402
+from pyorchdb_spark.plans.merge import resolve_merge  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table viewed as a CDC stream (see module docstring)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("event_id").cast("string").alias("commit"),
+        F.floor(F.col("event_id") / 1000).alias("batch_no"),
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay semantics (LWW + tombstones) on sf0.001 events."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# CDC / engine queries (SURVEY.md sections 2.3-2.5, 2.9)
+# --------------------------------------------------------------------------
+
+def q_cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key last-writer-wins pick — the engine's window operator."""
+    cl = _events_as_changelog(spark, sf_dir)
+    out = lww_dedup(cl, keys=("user_id",), seq_col="event_id", tiebreakers=())
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted dedup — must equal the plain window (same oracle)."""
+    cl = _events_as_changelog(spark, sf_dir)
+    out = lww_dedup_salted(cl, keys=("user_id",), seq_col="event_id", tiebreakers=(), n_salts=8)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW winners minus tombstones — replayed final table state."""
+    cl = _events_as_changelog(spark, sf_dir)
+    win = lww_dedup(cl, keys=("user_id",), seq_col="event_id", tiebreakers=())
+    return win.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: state(first half) merged with second-half
+    events == LWW final state over the whole log (idempotent upsert)."""
+    cl = _events_as_changelog(spark, sf_dir)
+    mid = 5_000
+    first = cl.filter(F.col("event_id") < mid)
+    target = (
+        lww_dedup(first, keys=("user_id",), seq_col="event_id", tiebreakers=())
+        .filter(F.col("op") != "delete")
+        .drop("op")
+    )
+    source = cl.filter(F.col("event_id") >= mid)
+    merged = resolve_merge(target, source, keys=("user_id",), seq_col="event_id")
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_marker_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once gate (J1): drop events of committed batches via
+    broadcast anti-join on batch id; count what remains per batch."""
+    cl = _events_as_changelog(spark, sf_dir)
+    committed = spark.range(0, 5).select(F.col("id").alias("batch_no"))
+    remaining = cl.join(F.broadcast(committed), "batch_no", "left_anti")
+    return remaining.groupBy("batch_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — lineage-style metrics: per event_type counts/sums/max-seq."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("event_id").alias("max_seq"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# curation operators (SURVEY.md section 2.2)
+# --------------------------------------------------------------------------
+
+def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7 — contains / anti-contains filters on a name column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(~F.col("source").contains("1"))
+        .filter(F.lower(F.col("lang")).contains("e"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_insert_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — extract a yyyy-mm-dd date from a filename-shaped string."""
+    ev = _t(spark, sf_dir, "events")
+    named = ev.select(
+        "event_id",
+        F.concat(F.lit("export_"), F.date_format("ts", "yyyy-MM-dd"), F.lit(".csv")).alias("fname"),
+    )
+    return named.select(
+        "event_id",
+        F.regexp_extract("fname", r"(\d{4}-\d{2}-\d{2})", 1).alias("periodo"),
+    )
+
+
+def q_distinct_directories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — distinct of a derived segment column (pruned scan + distinct)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("source").alias("directory")).distinct()
+
+
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — unionByName(allowMissingColumns): additive schema evolution."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").alias("extra_chars")
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — deterministic global sort + limit (top-10 users by value)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# analytics (bench headliners; joins/agg with broadcast + pushdown)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey")
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("rep_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8, n=1, block_col="lang")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=16)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        stopword_ratio("text", "en").alias("stop_ratio_en"),
+        lang_id("text").alias("lang_guess"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("fp"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "corpus_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry + oracles
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww": q_cdc_lww,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_marker_antijoin": q_cdc_marker_antijoin,
+        "lineage_counts": q_lineage_counts,
+        "filter_not_contains": q_filter_not_contains,
+        "insert_period": q_insert_period,
+        "distinct_directories": q_distinct_directories,
+        "union_evolution": q_union_evolution,
+        "topk_users": q_topk_users,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LWW_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_FINAL_STATE_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+
+
+def _lang_id_sql() -> str:
+    """Deterministic argmax over stopword votes, ties by language code."""
+    score = {
+        lang: f"len(list_filter({_TOKENS}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)
+    expr = f"'{langs[0]}'"
+    best = score[langs[0]]
+    for lang in langs[1:]:
+        expr = f"CASE WHEN {score[lang]} > ({best}) THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {score[lang]} > ({best}) THEN {score[lang]} ELSE ({best}) END"
+    return f"CASE WHEN ({best}) > 0 THEN {expr} ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return {
+        "cdc_lww": _LWW_SQL,
+        "cdc_lww_salted": _LWW_SQL,
+        "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_merge_upsert": _FINAL_STATE_SQL,
+        "cdc_marker_antijoin": """
+            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_no,
+                   count(*) AS n_events,
+                   max(event_id) AS max_event_id
+            FROM events
+            WHERE floor(event_id / 1000) >= 5
+            GROUP BY 1
+        """,
+        "lineage_counts": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   max(event_id) AS max_seq,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "filter_not_contains": """
+            SELECT source, count(*) AS n_docs
+            FROM documents
+            WHERE source NOT LIKE '%1%' AND lower(lang) LIKE '%e%'
+            GROUP BY source
+        """,
+        "insert_period": """
+            SELECT event_id,
+                   regexp_extract('export_' || strftime(ts, '%Y-%m-%d') || '.csv',
+                                  '(\\d{4}-\\d{2}-\\d{2})', 1) AS periodo
+            FROM events
+        """,
+        "distinct_directories": "SELECT DISTINCT source AS directory FROM documents",
+        "union_evolution": """
+            SELECT doc_id, lang, NULL::BIGINT AS extra_chars FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars AS extra_chars FROM documents WHERE doc_id % 2 = 1
+        """,
+        "topk_users": """
+            SELECT user_id, n_events FROM (
+              SELECT user_id, count(*) AS n_events
+              FROM events GROUP BY user_id
+            ) ORDER BY n_events DESC, user_id ASC LIMIT 10
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey FROM (
+              SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey
+            ) ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash,
+                   count(*) AS n_dups,
+                   min(doc_id) AS rep_id
+            FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sig AS (
+              SELECT doc_id AS id, lang AS blk,
+                     list_distinct({_TOKENS}) AS grams
+              FROM documents
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+            FROM sig a JOIN sig b ON a.blk = b.blk AND a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        """,
+        # dedup_minhash_lsh / dedup_simhash: intentionally no SQL oracle —
+        # hash-family-specific (xxhash64 banding); driver records the
+        # weaker rows-only check; exactness is covered by pytest instead.
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) > 0
+                        THEN CAST(len(list_filter({_TOKENS}, t -> t IN ({en}))) AS DOUBLE)
+                             / len({_TOKENS})
+                        ELSE 0.0 END AS stop_ratio_en,
+                   {_lang_id_sql()} AS lang_guess
+            FROM documents
+        """,
+        "fingerprint": "SELECT doc_id, sha256(text) AS fp FROM documents",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 3),
+                 c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings)
+            SELECT query_id, corpus_id, rank FROM (
+              SELECT q.query_id, c.corpus_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.corpus_id ASC
+                     ) AS rank
+              FROM q, c WHERE q.query_id <> c.corpus_id
+            ) WHERE rank <= 5
+        """,
+    }

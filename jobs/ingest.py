@@ -1,0 +1,111 @@
+"""spark-submit entry point: generate / replay a change-event log.
+
+Usage (C1 in SURVEY.md section 2.11 — the reference's 4-phase CLI
+run_workflow.py, reborn as one idempotent job):
+
+    spark-submit --py-files dist/engine.zip jobs/ingest.py generate \
+        --out /data/events --n-events 10000000 [--batch-size 1000000]
+
+    spark-submit --py-files dist/engine.zip jobs/ingest.py replay \
+        --events /data/events --table /data/code_files \
+        [--mode batch|stream] [--salted] [--checkpoint /data/ckpt]
+
+Prints one JSON line with rows/sec so the scaling harness (BENCH/) can
+compare N vs 4N parallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def _spark(master: str | None) -> SparkSession:
+    from pyorchdb_spark.session import build_session
+
+    return build_session(app_name="pyorchdb_spark_ingest", master=master)
+
+
+def cmd_generate(args) -> dict:
+    from pyorchdb_spark.generator import change_events, write_events
+
+    spark = _spark(args.master)
+    t0 = time.time()
+    ev = change_events(
+        spark,
+        args.n_events,
+        batch_size=args.batch_size,
+        evolution_batch=args.evolution_batch,
+    )
+    write_events(ev, args.out)
+    n = spark.read.parquet(args.out).count()
+    return {"cmd": "generate", "rows": n, "sec": round(time.time() - t0, 3), "out": args.out}
+
+
+def cmd_replay(args) -> dict:
+    from pyorchdb_spark.ingest import replay
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import LakeTable
+    from pyorchdb_spark.streaming.tail import run_tail_to_completion
+
+    spark = _spark(args.master)
+    events = spark.read.parquet(args.events)
+    lake = LakeTable(spark, args.table)
+    ledger = BatchLedger(spark, args.table)
+
+    n_events = events.count()  # input size (not timed as apply work)
+    t0 = time.time()
+    if args.mode == "stream":
+        ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
+        run_tail_to_completion(
+            spark, args.events, lake, ledger, ckpt, salted=args.salted, num_files=args.num_files
+        )
+    else:
+        replay(lake, ledger, events, salted=args.salted, num_files=args.num_files)
+    dt = time.time() - t0
+    return {
+        "cmd": "replay",
+        "mode": args.mode,
+        "events": n_events,
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "table_rows": lake.snapshot().count(),
+        "version": lake.current_version(),
+        "master": spark.sparkContext.master,
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-events", type=int, required=True)
+    g.add_argument("--batch-size", type=int, default=1_000_000)
+    g.add_argument("--evolution-batch", type=int, default=None)
+    g.add_argument("--master", default=None)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--events", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    r.add_argument("--salted", action="store_true")
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--num-files", type=int, default=None)
+    r.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+    out = cmd_generate(args) if args.cmd == "generate" else cmd_replay(args)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All hot-path scoring is built-in ``pyspark.sql.functions`` column
+expressions (JVM, whole-stage codegen); the only Python is the winnowing
+fingerprint, which is a vectorized pandas UDF (Arrow batches).
+
+Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deliberately ASCII + distinctive.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "los", "las", "que", "de", "con", "para"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "nicht", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "avec", "pour", "dans"],
+}
+
+_WS = r"\s+"
+# BPE-ish word/number/punct splitter: letter runs, digit runs, single punct.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(F.trim(col)), _WS), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col) -> Column:
+    """BPE-ish token count: count of regex token matches (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Heuristic [0,1] quality: length band + low punct + stopword presence.
+
+    Mirrors the C4/Gopher-style length/symbol/stopword filters; each term
+    is a codegen'd expression so the whole score fuses into the scan.
+    """
+    n_tok = token_count(col)
+    length_term = F.when((n_tok >= 5) & (n_tok <= 100_000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_term = F.when(punct_ratio(col) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_term = F.when(stopword_ratio(col, "en") > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    mean_len = F.when(n_tok > 0, F.length(col).cast("double") / n_tok).otherwise(F.lit(0.0))
+    word_len_term = F.when((mean_len >= 2.0) & (mean_len <= 15.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_term + punct_term + stop_term + word_len_term) / F.lit(4.0)
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID over STOPWORDS; ties broken by language
+    code order (deterministic); 'und' when no stopword hits at all."""
+    toks = tokens(col)
+
+    def hits(words):
+        # NB: single-arg lambda — F.filter dispatches on arity, a second
+        # (defaulted) parameter would be bound to the element index.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: hits(words) for lang, words in STOPWORDS.items()}
+    best = None
+    best_score = None
+    for lang in sorted(STOPWORDS):  # deterministic tie order
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def content_fingerprint(col) -> Column:
+    """Whole-document fingerprint: sha256 of NFC text (cheap, built-in)."""
+    return F.sha2(col, 256)
+
+
+@F.pandas_udf(LongType())
+def winnow_fingerprint(s: pd.Series) -> pd.Series:
+    """Winnowing-style rolling-hash fingerprint (Schleimer et al. 2003):
+    min 8-gram hash over a window — robust to local edits. Vectorized
+    pandas UDF; no SQL oracle (non-relational), tested property-style."""
+
+    def one(text: str | None) -> int | None:
+        if text is None:
+            return None
+        t = text.encode("utf-8")
+        k = 8
+        if len(t) <= k:
+            return int.from_bytes(hashlib.sha256(t).digest()[:8], "big") >> 1
+        best = None
+        for i in range(len(t) - k + 1):
+            h = int.from_bytes(hashlib.blake2b(t[i : i + k], digest_size=8).digest(), "big")
+            if best is None or h < best:
+                best = h
+        return best >> 1  # fit in signed int64
+
+    return s.map(one)

@@ -1,0 +1,115 @@
+"""Curation operators — the reference's pandas clean/fix phase, Spark-first.
+
+Each function maps one operator from SURVEY.md section 2.2 (P1-P10) /
+2.4 (A1-A3) / 2.7 (U2): the reference implements these eagerly in pandas
+(PyOrchDB/main.py:276-291, utilities/tools.py:136-221); here every one is
+a metadata-only projection or a declarative transform Catalyst can push
+into the scan.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_unnamed_columns(df: DataFrame, pattern: str = r"^Unnamed") -> DataFrame:
+    """P1 — drop columns matching a regex (reference: pandas index spills,
+    PyOrchDB/main.py:279). Metadata-only: no job runs."""
+    rx = re.compile(pattern)
+    return df.select(*[c for c in df.columns if not rx.match(c)])
+
+
+def drop_empty_columns(df: DataFrame) -> DataFrame:
+    """P2/A3 — drop all-null columns (reference main.py:288 via pydbsmgr).
+
+    One aggregate over non-null counts (Catalyst rewrites ``count(col)``
+    into a single pass), then a projection.
+    """
+    counts = df.agg(*[F.count(F.col(c)).alias(c) for c in df.columns]).first()
+    keep = [c for c in df.columns if counts[c] > 0]
+    return df.select(*keep)
+
+
+def drop_columns(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """P3 — config-driven column drop (reference tools.py:210-221)."""
+    return df.drop(*cols)
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P4 — config-driven rename (reference main.py:339)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def normalize_column_names(df: DataFrame, snake_case: bool = True) -> DataFrame:
+    """P5 — snake_case + dedupe column names (reference's StandardColumns /
+    ColumnsCheck, main.py:200-209,289-290 [ext]). Metadata-only."""
+
+    def norm(name: str) -> str:
+        n = name.strip()
+        if snake_case:
+            n = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", n)
+            n = re.sub(r"[^0-9a-zA-Z]+", "_", n).strip("_").lower()
+        return n or "col"
+
+    seen: dict[str, int] = {}
+    out = []
+    for c in df.columns:
+        n = norm(c)
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}_{seen[n]}"
+        else:
+            seen[n] = 0
+        out.append(n)
+    return df.toDF(*out)
+
+
+def filter_contains(df: DataFrame, col: str, needle: str, lowercase: bool = False) -> DataFrame:
+    """P6 — keep rows whose ``col`` contains ``needle`` (tools.py:151-167)."""
+    c = F.lower(F.col(col)) if lowercase else F.col(col)
+    return df.filter(c.contains(needle.lower() if lowercase else needle))
+
+
+def filter_not_contains(df: DataFrame, col: str, needle: str) -> DataFrame:
+    """P7 — drop rows whose ``col`` contains ``needle`` (tools.py:170-180,
+    used to exclude the catalog file at main.py:384)."""
+    return df.filter(~F.col(col).contains(needle))
+
+
+def insert_period(df: DataFrame, source_col: str, out_col: str = "periodo") -> DataFrame:
+    """P8 — extract a date (else a year) from a name column and inject it
+    as a constant-per-row column (reference tools.py:183-207). The
+    reference parses the *file name* in Python; here it is one
+    ``regexp_extract`` chain over the column, codegen'd."""
+    if out_col in df.columns:
+        return df
+    date = F.regexp_extract(F.col(source_col), r"(\d{4}-\d{2}-\d{2})", 1)
+    year = F.regexp_extract(F.col(source_col), r".*([1-2][0-9]{3})", 1)
+    return df.withColumn(out_col, F.when(date != "", date).otherwise(F.when(year != "", year)))
+
+
+def filter_nonempty_tables(dfs: Sequence[DataFrame], names: Sequence[str]):
+    """P10 — drop empty DataFrames from a processing list (main.py:141)."""
+    pairs = [(d, n) for d, n in zip(dfs, names) if not d.isEmpty()]
+    return [p[0] for p in pairs], [p[1] for p in pairs]
+
+
+def distinct_directories(df: DataFrame, path_col: str = "path", level: int = 0) -> DataFrame:
+    """A1 — unique path segments at a depth (reference tools.py:136-148).
+    One distinct over a 1-column projection — pruned scan + partial agg."""
+    return (
+        df.select(F.split(F.col(path_col), "/").getItem(level).alias("directory"))
+        .distinct()
+    )
+
+
+def union_similar_tables(dfs: Sequence[DataFrame]) -> DataFrame:
+    """A2/U2 — unify structurally-similar tables into one (reference's
+    merge_by_similarity, main.py:162-168 [ext]): ``unionByName`` with
+    missing columns null-filled — also the schema-evolution union."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)

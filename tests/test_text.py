@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.functions.text import (
+    bpe_token_count,
+    content_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    winnow_fingerprint,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  Hello,   world! 42 "), (2, ""), (3, None)], "id long, text string")
+    out = df.select("id", token_count("text").alias("tc"), bpe_token_count("text").alias("bc")).collect()
+    d = {r["id"]: (r["tc"], r["bc"]) for r in out}
+    assert d[1] == (3, 5)  # ws: [Hello,; world!; 42]; bpe: [Hello , world ! 42]
+    assert d[2][0] == 0
+
+
+def test_lang_id_and_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de los gatos para todos"),
+            (3, "der hund ist mit der katze und das haus"),
+            (4, "xyzzy qwerty asdf"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+    sw = df.filter("id = 1").select(stopword_ratio("text", "en").alias("r")).first()["r"]
+    assert sw == pytest.approx(5 / 8)
+
+
+def test_quality_and_punct(spark):
+    good = "This is a perfectly reasonable sentence with enough words to pass the filters."
+    bad = "!!! ??? ### $$$ %%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, text string")
+    out = {r["id"]: (r["q"], r["p"]) for r in df.select(
+        "id", quality_score("text").alias("q"), punct_ratio("text").alias("p")
+    ).collect()}
+    assert out[1][0] > out[2][0]
+    assert out[2][1] > 0.5 and out[1][1] < 0.1
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh stable prefix"), (2, "abcdefgh stable prefix"), (3, "totally different")],
+        "id long, text string",
+    )
+    fp = df.select("id", content_fingerprint("text").alias("f"), winnow_fingerprint("text").alias("w")).collect()
+    d = {r["id"]: (r["f"], r["w"]) for r in fp}
+    assert d[1] == d[2] and d[1] != d[3]
+    assert all(isinstance(v[1], int) and v[1] >= 0 for v in d.values())
+
+
+def test_text_ops_on_driver_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lid"),
+    )
+    row = out.agg(F.min("q"), F.max("q"), F.sum("tc")).first()
+    assert 0.0 <= row[0] <= row[1] <= 1.0 and row[2] > 0
