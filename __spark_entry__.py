@@ -115,14 +115,11 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = _events_as_changelog(spark, sf_dir)
     mid = 5_000
     first = cl.filter(F.col("event_id") < mid)
-    target = (
-        lww_dedup(first, keys=("user_id",), seq_col="event_id", tiebreakers=())
-        .filter(F.col("op") != "delete")
-        .drop("op")
-    )
+    # stored state retains tombstone winners (see plans/merge.py)
+    target = lww_dedup(first, keys=("user_id",), seq_col="event_id", tiebreakers=())
     source = cl.filter(F.col("event_id") >= mid)
     merged = resolve_merge(target, source, keys=("user_id",), seq_col="event_id")
-    return merged.select(
+    return merged.filter(F.col("op") != "delete").select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),

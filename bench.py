@@ -75,13 +75,19 @@ def main() -> None:
     events = spark.read.parquet(events_dir)
     n_rows = events.count()
 
-    work = os.path.join(REPO, ".bench_work", "table")
-    shutil.rmtree(work, ignore_errors=True)
-    lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
-    t0 = time.time()
-    replay(lake, ledger, events, salted=True)
-    replay_sec = round(time.time() - t0, 3)
-    timings["cdc_replay"] = replay_sec
+    # A/B the two skew strategies on identical input (SURVEY.md section 4):
+    # max_by hash-agg (map-side combine) vs explicit salted window dedup.
+    replay_stats = {}
+    for label, salted in (("cdc_replay", False), ("cdc_replay_salted", True)):
+        work = os.path.join(REPO, ".bench_work", label)
+        shutil.rmtree(work, ignore_errors=True)
+        lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
+        t0 = time.time()
+        replay(lake, ledger, events, salted=salted)
+        sec = round(time.time() - t0, 3)
+        timings[label] = sec
+        replay_stats[label] = round(n_rows / sec, 1)
+    replay_sec = timings["cdc_replay"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -94,6 +100,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cdc_replay_events": n_rows,
                 "cdc_replay_events_per_sec": round(n_rows / replay_sec, 1),
+                "cdc_replay_events_per_sec_by_strategy": replay_stats,
                 "cpus": CPUS,
             }
         )

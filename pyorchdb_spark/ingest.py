@@ -22,7 +22,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.observation import Observation
 
 from pyorchdb_spark.functions.udfs import normalize_path, sha256_content
 from pyorchdb_spark.sources.catalog import BatchLedger
@@ -70,27 +69,20 @@ def apply_batch(
 
     prepared = prepare_events(events)
 
-    # Observation: count inputs/dedup survivors inside the merge job itself
-    # instead of extra passes over the data.
-    obs_in = Observation(f"in_{batch_id}")
-    prepared = prepared.observe(
-        obs_in,
-        F.count(F.lit(1)).alias("rows_in"),
-        F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
-    )
     # The merge runs several actions over the batch (pruning-key scan, the
     # data-file write, lineage agg) — cache the prepared batch so the
     # pandas UDFs run once. Batches are bounded; the table itself never is.
+    # (NB: no Observation here — observations never fire on plans derived
+    # from a foreachBatch DataFrame, which would hang the streaming tail;
+    # input counts come from the lineage aggregation instead.)
     prepared = prepared.persist()
     try:
         manifest = lake.merge(
             prepared, batch_id=batch_id, salted=salted, n_salts=n_salts, num_files=num_files
         )
-        rows_in = int(obs_in.get["rows_in"] or 0)
-
         # Lineage after the merge action (cheap: cached scan + tiny shuffle).
         table_rows = sum(f["rows"] for f in manifest.files)
-        ledger.record_lineage(batch_id, prepared, table_rows_after=table_rows)
+        rows_in = ledger.record_lineage(batch_id, prepared, table_rows_after=table_rows)
     finally:
         prepared.unpersist()
     ledger.commit_marker(batch_id, manifest.version, rows_in)

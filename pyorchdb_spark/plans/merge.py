@@ -15,11 +15,20 @@ one algebraic form:
 
     merged = final_state( target_rows  UNION BY NAME  source_rows )
 
-which Catalyst executes as one hash-partitioned window — no join at all,
-and it is *idempotent*: re-applying an already-applied batch is a no-op
-(the ``s.seq > t.seq`` guard falls out of row_number ordering). That is
-what makes a crash between data commit and marker write safe
+which Catalyst executes as one hash-partitioned aggregate — no join at
+all, and it is *idempotent*: re-applying an already-applied batch is a
+no-op (the ``s.seq > t.seq`` guard falls out of the LWW ordering). That
+is what makes a crash between data commit and marker write safe
 (SURVEY.md section 7, hard part 1).
+
+**Tombstones are retained in stored state** (op='delete' rows survive the
+merge; they are filtered out of user-facing reads). This is load-bearing
+for out-of-order delivery ACROSS batches: if batch B1 applies a delete at
+seq 200 and batch B2 later delivers an upsert at seq 100, only the
+retained tombstone can veto the resurrection. Tombstone GC happens at
+compaction time (LakeTable.compact) once the ingest low-watermark passes
+the tombstone's seq — the same contract as Kafka compacted topics /
+Cassandra tombstones / Iceberg MoR deletes.
 
 ``unionByName(allowMissingColumns=True)`` is simultaneously the additive
 schema-evolution mechanism: a batch introducing a new column unions with
@@ -31,13 +40,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from pyorchdb_spark.operators.dedup import DEFAULT_KEYS, final_state
-
-# Columns that exist only in the change-event envelope, never in the
-# stored table state.
-EPHEMERAL_COLS = ("op",)
+from pyorchdb_spark.operators.dedup import DEFAULT_KEYS, lww_dedup, lww_dedup_salted
 
 
 def resolve_merge(
@@ -48,13 +52,13 @@ def resolve_merge(
     salted: bool = False,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Return the post-merge state of the given target slice.
+    """Return the post-merge stored state of the given target slice.
 
-    ``target_rows``: current rows (no ``op`` column — stored state holds
-    upserts only). ``source_events``: raw change events for this batch
-    (may contain duplicates, out-of-order seqs, tombstones).
+    Both inputs carry the ``op`` column; the result is the LWW winner per
+    key *including* tombstone winners (see module docstring). Callers
+    expose user-facing state by filtering ``op != 'delete'``.
     """
-    t = target_rows.withColumn("op", F.lit("upsert"))
-    unioned = t.unionByName(source_events, allowMissingColumns=True)
-    merged = final_state(unioned, keys=keys, seq_col=seq_col, salted=salted, n_salts=n_salts)
-    return merged.drop(*EPHEMERAL_COLS)
+    unioned = target_rows.unionByName(source_events, allowMissingColumns=True)
+    if salted:
+        return lww_dedup_salted(unioned, keys=keys, seq_col=seq_col, n_salts=n_salts)
+    return lww_dedup(unioned, keys=keys, seq_col=seq_col)

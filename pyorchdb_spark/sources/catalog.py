@@ -86,25 +86,31 @@ class BatchLedger:
 
     # ---------- lineage ----------
 
-    def record_lineage(self, batch_id: str, source_events: DataFrame, table_rows_after: int) -> None:
-        """Per-partition ingest metrics for this batch, appended as parquet."""
-        per_part = (
+    def record_lineage(self, batch_id: str, source_events: DataFrame, table_rows_after: int) -> int:
+        """Per-partition ingest metrics for this batch, appended as parquet.
+
+        Returns total input rows (the per-partition rows are collected —
+        one tiny row per task — so the caller gets the count for free).
+        """
+        seq_col = "seq" if "seq" in source_events.columns else source_events.columns[0]
+        rows = (
             source_events.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
-                F.max("seq").alias("max_seq"),
+                F.max(seq_col).alias("max_seq"),
             )
-            .select(
-                F.lit(batch_id).alias("batch_id"),
-                F.col("partition_id").cast("int"),
-                F.col("rows_in"),
-                F.col("tombstones"),
-                F.col("max_seq"),
-                F.lit(table_rows_after).cast("long").alias("table_rows_after"),
-            )
+            .collect()
         )
-        per_part.write.mode("append").parquet(self.lineage_dir)
+        per_part = self.spark.createDataFrame(
+            [
+                (batch_id, int(r["partition_id"]), r["rows_in"], r["tombstones"], r["max_seq"], table_rows_after)
+                for r in rows
+            ],
+            LINEAGE_SCHEMA,
+        )
+        per_part.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        return int(sum(r["rows_in"] for r in rows))
 
     def lineage(self) -> DataFrame:
         try:

@@ -138,14 +138,23 @@ class LakeTable:
 
     # ---------- read path ----------
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """Table state at a version (default: latest). Empty table → empty DF."""
+    def snapshot(self, version: int | None = None, include_tombstones: bool = False) -> DataFrame:
+        """Table state at a version (default: latest). Empty table → empty DF.
+
+        Stored state retains tombstone rows (op='delete') so out-of-order
+        late events can never resurrect a deleted key (plans/merge.py);
+        user-facing reads filter them unless ``include_tombstones``.
+        """
         m = self.manifest(version)
         if m is None or not m.files:
             schema = m.schema() if m else StructType()
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f["path"]) for f in m.files]
-        return self.spark.read.schema(m.schema()).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f["path"]) for f in m.files]
+            df = self.spark.read.schema(m.schema()).parquet(*paths)
+        if not include_tombstones and "op" in df.columns:
+            df = df.filter(F.col("op") != "delete").drop("op")
+        return df
 
     def is_empty(self) -> bool:
         m = self.manifest()
@@ -257,9 +266,9 @@ class LakeTable:
         """
         m = self.manifest()
         version = (m.version if m else 0) + 1
-        state_schema = StructType(
-            [f for f in source_events.schema.fields if f.name != "op"]
-        )
+        # Stored schema = full event envelope including op (tombstone
+        # retention — see plans/merge.py module docstring).
+        state_schema = source_events.schema
 
         if m is None or not m.files:
             merged = resolve_merge(
@@ -312,6 +321,36 @@ class LakeTable:
         return manifest
 
     # ---------- maintenance ----------
+
+    def compact(self, tombstone_watermark_seq: int | None = None, num_files: int | None = None) -> Manifest:
+        """Rewrite the table dropping GC-able tombstones.
+
+        A tombstone with ``seq <= tombstone_watermark_seq`` can be dropped
+        once the ingest low-watermark guarantees no event with a lower seq
+        can still arrive (Kafka-compaction contract). With no watermark,
+        all tombstones are dropped (safe only after the log is fully
+        replayed).
+        """
+        m = self.manifest()
+        if m is None:
+            raise ValueError("nothing to compact")
+        df = self.snapshot(include_tombstones=True)
+        if "op" in df.columns:
+            keep = F.col("op") != "delete"
+            if tombstone_watermark_seq is not None:
+                keep = keep | (F.col("seq") > tombstone_watermark_seq)
+            df = df.filter(keep)
+        version = m.version + 1
+        new_files = self._write_data_files(df, version, num_files)
+        manifest = Manifest(
+            version=version,
+            parent=m.version,
+            batch_id=f"compact-{version}",
+            schema_json=m.schema_json,
+            files=new_files,
+        )
+        self._publish(manifest)
+        return manifest
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``keep_versions``

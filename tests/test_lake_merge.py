@@ -107,6 +107,35 @@ def test_lineage_and_markers_recorded(spark, tmp_path):
     assert ledger.filter_uncommitted(ev).isEmpty()
 
 
+def test_out_of_order_delete_across_batches(spark, tmp_path):
+    """A late upsert (lower seq, later batch) must NOT resurrect a deleted
+    key — the retained tombstone vetoes it (plans/merge.py)."""
+    root = str(tmp_path / "ooo")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ddl = "repo string, path string, commit string, seq long, op string, lang string, content string, batch_id string"
+    from pyorchdb_spark.ingest import apply_batch
+
+    b1 = spark.createDataFrame(
+        [("r", "a.py", "c2", 200, "delete", "python", "", "b1"),
+         ("r", "b.py", "c3", 300, "upsert", "python", "keep", "b1")], ddl
+    )
+    apply_batch(lake, ledger, b1, "b1", num_files=1)
+    # late delivery: an upsert for the deleted key with an OLDER seq
+    b2 = spark.createDataFrame([("r", "a.py", "c1", 100, "upsert", "python", "stale", "b2")], ddl)
+    apply_batch(lake, ledger, b2, "b2", num_files=1)
+
+    rows = {(r["path"], r["content"]) for r in lake.snapshot().collect()}
+    assert rows == {("b.py", "keep")}
+    # the tombstone is still stored internally
+    stored = lake.snapshot(include_tombstones=True)
+    assert stored.filter("op = 'delete' and path = 'a.py'").count() == 1
+
+    # compaction GCs the tombstone once the watermark passes its seq
+    lake.compact(tombstone_watermark_seq=250, num_files=1)
+    assert lake.snapshot(include_tombstones=True).filter("op = 'delete'").isEmpty()
+    assert {(r["path"], r["content"]) for r in lake.snapshot().collect()} == {("b.py", "keep")}
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     root = str(tmp_path / "v")
     lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
