@@ -56,6 +56,7 @@ def lww_dedup(
     strategy: str = "max_by",
 ) -> DataFrame:
     """One row per key: the last writer."""
+    tiebreakers = [c for c in tiebreakers if c in events.columns]
     if strategy == "max_by":
         payload = F.struct(*[F.col(c) for c in events.columns])
         order = _order_struct(seq_col, tiebreakers)
@@ -87,6 +88,7 @@ def lww_dedup_salted(
     is also the winner of its own salt bucket, so it survives stage 1 and
     wins stage 2.
     """
+    tiebreakers = [c for c in tiebreakers if c in events.columns]
     order = _order_cols(seq_col, tiebreakers)
     salt = F.pmod(F.xxhash64(F.col(seq_col), F.lit("salt")), F.lit(n_salts))
     w1 = Window.partitionBy(*list(keys), "_salt").orderBy(*order)

@@ -85,8 +85,18 @@ def ngram_jaccard_pairs(
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
         word_ngrams(text_col, n).alias("grams"),
     )
-    a = sig.select(F.col("id").alias("id_a"), "blk", F.col("grams").alias("g_a"))
-    b = sig.select(F.col("id").alias("id_b"), "blk", F.col("grams").alias("g_b"))
+    # Parallelism note: the probe side drives pair-enumeration parallelism,
+    # so spread it across the core count (a handful of block values — or a
+    # single input file — would otherwise collapse the O(n^2/blocks) verify
+    # work onto a few tasks). The build side is broadcast: this operator is
+    # the small/exact baseline; the 100-TB path is minhash_lsh_pairs, whose
+    # candidate join shuffles on (band, bucket) instead of enumerating
+    # blocks (see module docstring).
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sig.select(F.col("id").alias("id_a"), "blk", F.col("grams").alias("g_a")).repartition(
+        n_parts, "id_a"
+    )
+    b = F.broadcast(sig.select(F.col("id").alias("id_b"), "blk", F.col("grams").alias("g_b")))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
     return (
@@ -132,7 +142,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = docs.select(
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # spread signature computation across cores (input may be few files)
+    sig = docs.repartition(n_parts).select(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("grams"),
     ).withColumn("mh", minhash_signature(F.col("grams"), num_hashes))
@@ -177,7 +189,10 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     +1/-1; sign of the vote sum becomes the bit. One shuffle on doc id
     with partial aggregation map-side.
     """
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("t"))
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tok = docs.repartition(n_parts).select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("t")
+    )
     h = F.xxhash64("t")
     one = F.lit(1).cast("long")
     # NB: bit 63 as a Python literal (1 << 63) overflows a JVM long —

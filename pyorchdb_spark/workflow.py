@@ -1,0 +1,164 @@
+"""ETLWorkflow facade — the reference's end-to-end lifecycle, Spark-first.
+
+A user of the reference drives `ETLWorkflow(...).build(); curate(); load();
+upload()` (PyOrchDB/run_workflow.py:26-29, PyOrchDB/main.py:106-265). This
+facade reproduces that surface over Spark with zero interactivity (the
+reference's input() prompts, main.py:183-195, become pure config):
+
+- build   : read raw csv files (schema inferred — Spark's native
+            inferSchema replaces the reference's 1%-sample dtype
+            inference, tools.py:84-86), drop empties, fix columns,
+            stamp the period column, cluster structurally-similar tables
+            and union them (main.py:137-173).
+- curate  : normalize column names, drop/rename per config
+            (main.py:176-222).
+- load    : write curated tables as parquet (main.py:224-238).
+- upload  : MERGE each curated table into a keyed lake table
+            (replaces the chunked SQL insert + override fallback,
+            tools.py:61-133, with idempotent upsert).
+
+Incrementality (the reference's catalog diff, catalog.py:96-105) comes
+from the BatchLedger: a batch_id per input file; committed files are
+skipped exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.operators.curate import (
+    drop_columns,
+    drop_empty_columns,
+    drop_unnamed_columns,
+    insert_period,
+    normalize_column_names,
+    rename_columns,
+    union_similar_tables,
+)
+
+
+@dataclass
+class WorkflowConfig:
+    """Pure-config replacement for the reference's YAML + prompts
+    (utilities/config_data.yml, table_names.yml)."""
+
+    columns_to_delete: list[str] = field(default_factory=list)
+    columns_to_rename: dict[str, str] = field(default_factory=dict)
+    table_renames: dict[str, str] = field(default_factory=dict)
+    snake_case: bool = True
+    name_distance: int = 3  # union tables whose names are within this edit distance
+
+
+def _edit_distance(a: str, b: str) -> int:
+    """Small Levenshtein for table-name clustering (merge_by_similarity
+    analogue, main.py:162-168). Driver-side on table *names* only — never
+    on data."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class ETLWorkflow:
+    def __init__(self, spark: SparkSession, config: WorkflowConfig | None = None):
+        self.spark = spark
+        self.config = config or WorkflowConfig()
+        self.tables: dict[str, DataFrame] = {}
+
+    # ---------- build ----------
+
+    def build(self, csv_paths: list[str]) -> "ETLWorkflow":
+        """Read + fix each raw csv, then cluster-and-union similar tables."""
+        raw: dict[str, DataFrame] = {}
+        for p in csv_paths:
+            name = re.sub(r"\.(csv|xlsx)$", "", os.path.basename(p))
+            name = re.sub(r"[\s\-]+", "_", name).lower()
+            # strip trailing date/year stamps so periodic drops of the same
+            # entity cluster together (the period lives in the 'periodo'
+            # column, not the table identity — tools.py:183-207)
+            name = re.sub(r"_?\d{4}(_\d{2}(_\d{2})?)?$", "", name) or name
+            df = self.spark.read.csv(p, header=True, inferSchema=True)
+            df = drop_unnamed_columns(df)
+            df = drop_empty_columns(df)
+            df = insert_period(df.withColumn("_fname", F.lit(os.path.basename(p))), "_fname").drop("_fname")
+            if df.isEmpty():
+                continue  # P10 empty-table filter (main.py:141)
+            raw[name] = df
+
+        # cluster by name distance, union each cluster (A2)
+        names = sorted(raw)
+        used: set[str] = set()
+        for n in names:
+            if n in used:
+                continue
+            cluster = [m for m in names if m not in used and _edit_distance(n, m) <= self.config.name_distance]
+            used.update(cluster)
+            df = union_similar_tables([raw[m] for m in cluster])
+            base = re.sub(r"_?\d+$", "", n) or n
+            self.tables[self.config.table_renames.get(base, base)] = df
+        return self
+
+    # ---------- curate ----------
+
+    def curate(self) -> "ETLWorkflow":
+        out = {}
+        for name, df in self.tables.items():
+            df = normalize_column_names(df, snake_case=self.config.snake_case)
+            df = drop_columns(df, [c for c in self.config.columns_to_delete if c in df.columns])
+            df = rename_columns(df, {k: v for k, v in self.config.columns_to_rename.items() if k in df.columns})
+            out[name] = df
+        self.tables = out
+        return self
+
+    # ---------- load ----------
+
+    def load(self, out_dir: str) -> dict[str, str]:
+        """Write curated tables as parquet; returns name -> path."""
+        paths = {}
+        for name, df in self.tables.items():
+            path = os.path.join(out_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            paths[name] = path
+        return paths
+
+    # ---------- upload ----------
+
+    def upload(self, lake_root: str, keys: dict[str, list[str]] | list[str]) -> dict[str, int]:
+        """MERGE each curated table into a keyed lake table (idempotent).
+
+        ``keys``: merge key columns — one list for all tables, or a
+        per-table dict (tables absent from the dict are skipped).
+        """
+        from pyorchdb_spark.sources.catalog import BatchLedger
+        from pyorchdb_spark.sources.lake import LakeTable
+
+        rows = {}
+        for name, df in self.tables.items():
+            table_keys = keys.get(name) if isinstance(keys, dict) else keys
+            if not table_keys or any(k not in df.columns for k in table_keys):
+                continue
+            root = os.path.join(lake_root, name)
+            lake = LakeTable(self.spark, root, keys=table_keys)
+            ledger = BatchLedger(self.spark, root)
+            batch_id = f"upload-{name}"
+            if ledger.is_committed(batch_id):
+                rows[name] = lake.snapshot().count()
+                continue
+            # adapt a keyed table to the CDC envelope: synthetic seq/op
+            ev = df.withColumn("seq", F.monotonically_increasing_id()).withColumn(
+                "op", F.lit("upsert")
+            )
+            manifest = lake.merge(ev, batch_id=batch_id)
+            ledger.commit_marker(batch_id, manifest.version, rows_in=df.count())
+            rows[name] = lake.snapshot().count()
+        return rows
