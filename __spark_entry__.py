@@ -269,7 +269,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5, n=3, block_col="lang")
+    return ngram_jaccard_pairs(docs, threshold=0.9, n=1, block_col="lang")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,10 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH sig AS (
               SELECT doc_id AS id, lang AS blk,
-                     CASE WHEN len({_TOKENS}) < 3 THEN [array_to_string({_TOKENS}, ' ')]
-                          ELSE list_distinct([array_to_string(({_TOKENS})[i:i+2], ' ')
-                                              for i in range(1, len({_TOKENS}) - 1)])
-                     END AS grams
+                     list_distinct({_TOKENS}) AS grams
               FROM documents
             )
             SELECT a.id AS id_a, b.id AS id_b,
@@ -473,7 +470,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
             FROM sig a JOIN sig b ON a.blk = b.blk AND a.id < b.id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+                    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
         """,
         # dedup_minhash_lsh / dedup_simhash: intentionally no SQL oracle —
         # hash-family-specific (xxhash64 banding); driver records the

@@ -57,6 +57,13 @@ def cmd_replay(args) -> dict:
 
     spark = _spark(args.master)
     events = spark.read.parquet(args.events)
+    if args.coalesce_batches:
+        # one logical batch: the throughput-measurement shape (single
+        # MERGE over the whole log; per-batch incrementality is exercised
+        # by the default path and the streaming tail)
+        from pyspark.sql import functions as F
+
+        events = events.withColumn("batch_id", F.lit("all"))
     lake = LakeTable(spark, args.table)
     ledger = BatchLedger(spark, args.table)
 
@@ -100,6 +107,7 @@ def main(argv=None) -> None:
     r.add_argument("--salted", action="store_true")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--num-files", type=int, default=None)
+    r.add_argument("--coalesce-batches", action="store_true")
     r.add_argument("--master", default=None)
 
     args = p.parse_args(argv)

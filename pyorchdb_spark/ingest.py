@@ -62,6 +62,7 @@ def apply_batch(
     salted: bool = False,
     n_salts: int = 16,
     num_files: int | None = None,
+    cache_batch: bool = False,
 ) -> ApplyResult:
     """Apply one batch idempotently. Safe to call twice with the same id."""
     if ledger.is_committed(batch_id):
@@ -75,7 +76,14 @@ def apply_batch(
     # (NB: no Observation here — observations never fire on plans derived
     # from a foreachBatch DataFrame, which would hang the streaming tail;
     # input counts come from the lineage aggregation instead.)
-    prepared = prepared.persist()
+    # cache_batch default False: a deserialized cache of fat content rows
+    # costs more (GC + storage-memory contention at high parallelism) than
+    # recomputing the batch, because Catalyst column-prunes the pandas
+    # UDFs out of the key-only pruning scan and the lineage scan — only
+    # the data-file write evaluates sha256 over content (measured 3x
+    # regression with caching at local[32], see BENCH/BASELINE.md).
+    if cache_batch:
+        prepared = prepared.persist()
     try:
         manifest = lake.merge(
             prepared, batch_id=batch_id, salted=salted, n_salts=n_salts, num_files=num_files
@@ -84,7 +92,8 @@ def apply_batch(
         table_rows = sum(f["rows"] for f in manifest.files)
         rows_in = ledger.record_lineage(batch_id, prepared, table_rows_after=table_rows)
     finally:
-        prepared.unpersist()
+        if cache_batch:
+            prepared.unpersist()
     ledger.commit_marker(batch_id, manifest.version, rows_in)
     return ApplyResult(batch_id, skipped=False, version=manifest.version, rows_in=rows_in, table_rows_after=table_rows)
 
@@ -97,6 +106,7 @@ def replay(
     salted: bool = False,
     n_salts: int = 16,
     num_files: int | None = None,
+    cache_batch: bool = False,
 ) -> list[ApplyResult]:
     """Batch-mode replay of a whole event log in batch_id order."""
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
@@ -111,6 +121,7 @@ def replay(
                 salted=salted,
                 n_salts=n_salts,
                 num_files=num_files,
+                cache_batch=cache_batch,
             )
         )
     return results
