@@ -73,10 +73,16 @@ def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> di
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--n-events", type=int, default=2_000_000)
-    p.add_argument("--runs", type=int, default=1)
-    p.add_argument("--low", type=int, default=8)
-    p.add_argument("--high", type=int, default=32)
+    p.add_argument("--n-events", type=int, default=16_000_000)
+    p.add_argument("--runs", type=int, default=2)
+    p.add_argument("--low", type=int, default=2)
+    p.add_argument("--high", type=int, default=8)
+    # thin rows (content <= 256 chars): the throughput-vs-parallelism probe
+    # must be CPU-bound, not DRAM-bandwidth-bound — a single box shares
+    # memory bandwidth across all task slots, which a real 4x-executor
+    # cluster does not (each node brings its own). Fat-row behavior is
+    # covered by bench.py (content up to 4 KiB).
+    p.add_argument("--content-max-reps", type=int, default=2)
     p.add_argument("--salted", action=argparse.BooleanOptionalAction, default=False)
     # single-MERGE throughput shape: one batch over the whole log, so the
     # CPU-bound apply dominates the fixed per-batch driver overhead
@@ -85,14 +91,15 @@ def main() -> None:
     a = p.parse_args()
 
     zpath = build_zip()
-    events_dir = os.path.join(REPO, ".bench_data", f"events_{a.n_events}")
+    events_dir = os.path.join(SCRATCH, f"events_{a.n_events}_r{a.content_max_reps}")
     if not os.path.exists(os.path.join(events_dir, "_SUCCESS")):
         print(f"generating {a.n_events} events once -> {events_dir}", file=sys.stderr)
         run_submit(
             zpath,
             ["generate", "--out", events_dir, "--n-events", str(a.n_events),
-             "--batch-size", str(max(a.n_events // 4, 1))],
-            master=f"local[{a.high}]",
+             "--batch-size", str(a.n_events),
+             "--content-max-reps", str(a.content_max_reps)],
+            master="local[32]",
         )
 
     results = {}

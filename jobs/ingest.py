@@ -43,6 +43,7 @@ def cmd_generate(args) -> dict:
         args.n_events,
         batch_size=args.batch_size,
         evolution_batch=args.evolution_batch,
+        content_max_reps=args.content_max_reps,
     )
     write_events(ev, args.out)
     n = spark.read.parquet(args.out).count()
@@ -68,6 +69,14 @@ def cmd_replay(args) -> dict:
     ledger = BatchLedger(spark, args.table)
 
     n_events = events.count()  # input size (not timed as apply work)
+    if args.warmup:
+        # untimed steady-state warmup: spawns the python UDF workers
+        # (pandas import is a per-session fixed cost) and faults the input
+        # into page cache, so the timed run measures events/sec of the
+        # engine, not session bring-up.
+        from pyorchdb_spark.ingest import prepare_events
+
+        prepare_events(events, jvm_only=args.jvm_hash).write.format("noop").mode("overwrite").save()
     t0 = time.time()
     if args.mode == "stream":
         ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
@@ -75,7 +84,8 @@ def cmd_replay(args) -> dict:
             spark, args.events, lake, ledger, ckpt, salted=args.salted, num_files=args.num_files
         )
     else:
-        replay(lake, ledger, events, salted=args.salted, num_files=args.num_files)
+        replay(lake, ledger, events, salted=args.salted, num_files=args.num_files,
+               jvm_only_udfs=args.jvm_hash)
     dt = time.time() - t0
     return {
         "cmd": "replay",
@@ -98,6 +108,7 @@ def main(argv=None) -> None:
     g.add_argument("--n-events", type=int, required=True)
     g.add_argument("--batch-size", type=int, default=1_000_000)
     g.add_argument("--evolution-batch", type=int, default=None)
+    g.add_argument("--content-max-reps", type=int, default=16)
     g.add_argument("--master", default=None)
 
     r = sub.add_parser("replay")
@@ -108,6 +119,9 @@ def main(argv=None) -> None:
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--num-files", type=int, default=None)
     r.add_argument("--coalesce-batches", action="store_true")
+    r.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
+    r.add_argument("--jvm-hash", action="store_true",
+                   help="use built-in sha2/regexp instead of pandas UDFs (scaling isolation)")
     r.add_argument("--master", default=None)
 
     args = p.parse_args(argv)

@@ -57,6 +57,7 @@ def change_events(
     duplicate_mod: int = 50,
     evolution_batch: int | None = None,
     num_partitions: int | None = None,
+    content_max_reps: int = 16,
 ) -> DataFrame:
     """Build the deterministic change-event DataFrame.
 
@@ -110,7 +111,9 @@ def change_events(
     # Deterministic pseudo-source body, 64-4096 chars: a header line +
     # 1..16 repeats of a 256-char block derived from (key, seq).
     block = F.sha2(F.concat_ws("#", F.col("_key_id").cast("string"), F.col("seq").cast("string")), 512)
-    reps = (F.pmod(F.xxhash64(F.col("seq"), F.lit("len")), F.lit(16)) + 1).cast("int")
+    # content length 64..(128*content_max_reps) chars — a workload knob:
+    # fat rows stress shuffle/write bandwidth, thin rows stress per-row CPU
+    reps = (F.pmod(F.xxhash64(F.col("seq"), F.lit("len")), F.lit(content_max_reps)) + 1).cast("int")
     content = F.concat(
         F.lit("def f_"),
         F.col("_key_id").cast("string"),

@@ -37,19 +37,34 @@ class ApplyResult:
     table_rows_after: int
 
 
-def prepare_events(events: DataFrame) -> DataFrame:
+def prepare_events(events: DataFrame, jvm_only: bool = False) -> DataFrame:
     """Curation: normalize paths, stamp content sha256 (engine columns).
 
     The sha256 column is the replay invariant (BASELINE.json:15); path
     normalization keeps key identity stable across noisy producers
     (SURVEY.md section 2.10). Both are Arrow-vectorized — no per-row
     Python anywhere in the plan.
+
+    ``jvm_only=True`` swaps in the equivalent built-in expressions
+    (``F.sha2``, regexp chain — byte-identical results on ASCII paths,
+    cross-checked in tests). Used by the scaling bench to isolate engine
+    scalability from python-worker co-scheduling: each pandas-UDF task
+    occupies a JVM thread *plus* a python worker, so on one box a "task
+    slot" silently consumes ~2 cores, flattening slot-count scaling runs.
     """
-    return events.withColumn("path", normalize_path("path")).withColumn(
+    if jvm_only:
+        norm = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("path"), r"^(\./)+", ""), r"/{2,}", "/"),
+            r"(.)/$",
+            "$1",
+        )
+        sha = F.sha2("content", 256)
+    else:
+        norm = normalize_path("path")
+        sha = sha256_content("content")
+    return events.withColumn("path", norm).withColumn(
         "content_sha256",
-        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
-            sha256_content("content")
-        ),
+        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(sha),
     )
 
 
@@ -63,12 +78,13 @@ def apply_batch(
     n_salts: int = 16,
     num_files: int | None = None,
     cache_batch: bool = False,
+    jvm_only_udfs: bool = False,
 ) -> ApplyResult:
     """Apply one batch idempotently. Safe to call twice with the same id."""
     if ledger.is_committed(batch_id):
         return ApplyResult(batch_id, skipped=True, version=None, rows_in=0, table_rows_after=0)
 
-    prepared = prepare_events(events)
+    prepared = prepare_events(events, jvm_only=jvm_only_udfs)
 
     # The merge runs several actions over the batch (pruning-key scan, the
     # data-file write, lineage agg) — cache the prepared batch so the
@@ -107,6 +123,7 @@ def replay(
     n_salts: int = 16,
     num_files: int | None = None,
     cache_batch: bool = False,
+    jvm_only_udfs: bool = False,
 ) -> list[ApplyResult]:
     """Batch-mode replay of a whole event log in batch_id order."""
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
@@ -122,6 +139,7 @@ def replay(
                 n_salts=n_salts,
                 num_files=num_files,
                 cache_batch=cache_batch,
+                jvm_only_udfs=jvm_only_udfs,
             )
         )
     return results

@@ -9,15 +9,17 @@ wins, ties broken deterministically by ``commit`` then ``op``
 
 Three equivalent implementations, chosen for scale behavior:
 
-- ``strategy="max_by"`` (default) — ``groupBy(keys).agg(max_by(row,
-  order))``: a hash aggregate with **map-side partial combine**. Each map
-  task emits at most one candidate per key before the shuffle, so a
-  Zipf-hot repo's millions of events collapse locally and the shuffle
-  carries ~|keys| rows, not |events|. This is the plan you want at 10^10
-  events; a window would shuffle and sort *every* row.
-- ``strategy="window"`` — ``row_number() over (partition by keys order by
-  seq desc)``: one hash-partitioned sort; simple, but all rows cross the
-  shuffle and a hot key lands in one task (AQE can split it post-hoc).
+- ``strategy="window"`` (default) — ``row_number() over (partition by
+  keys order by seq desc)``: one shuffle + one sort of the rows. Measured
+  fastest on realistic fat rows (~1 KiB content): 8M events dedup in
+  15.3s at local[32] vs 46.4s for max_by — the sort-agg's per-row struct
+  materialization is memory-bandwidth-bound and stops scaling with cores.
+- ``strategy="max_by"`` — ``groupBy(keys).agg(max_by(row, order))``: a
+  hash aggregate with **map-side partial combine**. Each map task emits at
+  most one candidate per key before the shuffle, so the shuffle carries
+  ~|keys| rows, not |events| — the right trade when shuffle IO (network)
+  is the bottleneck, i.e. on a real multi-node cluster with narrow rows;
+  on this single box the extra struct copying dominates.
 - ``lww_dedup_salted`` — explicit two-stage dedup (SURVEY.md section 4
   item 1) for the window path: stage 1 dedups within (key, salt) so a hot
   key arrives at the final per-key shuffle as at most ``n_salts`` rows.
@@ -53,7 +55,7 @@ def lww_dedup(
     keys: Sequence[str] = DEFAULT_KEYS,
     seq_col: str = "seq",
     tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
-    strategy: str = "max_by",
+    strategy: str = "window",
 ) -> DataFrame:
     """One row per key: the last writer."""
     tiebreakers = [c for c in tiebreakers if c in events.columns]
@@ -110,7 +112,7 @@ def final_state(
     seq_col: str = "seq",
     salted: bool = False,
     n_salts: int = 16,
-    strategy: str = "max_by",
+    strategy: str = "window",
 ) -> DataFrame:
     """Replay semantics: LWW winners minus tombstones.
 

@@ -15,20 +15,24 @@ Layout (all under one table root):
     _markers/{batch_id}.json   -- exactly-once ledger (see catalog.py)
     _lineage/                  -- per-batch per-partition metrics parquet
 
-Manifest = {version, parent, batch_id, schema(json), files:[{path, rows,
-min_key, max_key}]} where key = repo || '\\x00' || path (one sortable
-composite key, enabling file-level key-range pruning).
+Manifest = {version, parent, batch_id, schema(json), n_buckets,
+bucket_map, files:[{path, pindex, rows, min_key, max_key}]} where
+key = repo || '\\x00' || path (sortable composite key) and
+bucket = pmod(xxhash64(repo, path), n_buckets) (hash-bucketed layout).
 
 Scale notes (why this survives 100 TB):
-- MERGE is copy-on-write **per affected file**, not per table: source
-  keys are range-joined against per-file key bounds (a tiny broadcast
-  nested-loop join against the manifest), and only overlapping files are
-  rewritten; everything else is carried by reference into the next
-  manifest. A 10^10-row table touched by a 10^6-row batch rewrites only
-  the files the batch's keys land in.
-- Output files are ``repartitionByRange`` over the composite key, so file
-  key-ranges stay near-disjoint and pruning stays effective commit after
-  commit (the same reason Iceberg sorts on a key column).
+- MERGE is copy-on-write **per affected file**, not per table: the table
+  is **hash-bucketed** on the merge key (Hive/Iceberg-bucketing style) —
+  every file records which shuffle bucket it holds, so the affected-file
+  set is exactly {files whose bucket appears among the batch's key
+  buckets}: a tiny distinct-aggregate on the batch, zero table scan.
+  A 10^10-row table touched by a 10^6-row batch rewrites only the
+  buckets the batch's keys land in.
+- Bucketing beats range-partitioning here twice over: pruning is exact on
+  key equality (MERGE is an equi-join), and the write needs no
+  RangePartitioner sampling pass (which costs an extra computation of the
+  merged state). Files stay sorted by key within each bucket, and per-file
+  key min/max are still recorded as a fallback prune for legacy files.
 - Reads use the manifest's explicit schema (``spark.read.schema``), so no
   footer-merging scan (``mergeSchema``) is ever needed, and old files
   simply surface nulls for columns added later — additive evolution.
@@ -57,6 +61,11 @@ def composite_key(keys: Sequence[str] = DEFAULT_KEYS):
     return F.concat_ws(KEY_SEP, *[F.col(k) for k in keys])
 
 
+def bucket_expr(keys: Sequence[str], n_buckets: int):
+    """Stable key bucket: pmod(xxhash64(keys), n) — layout + prune unit."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
 @dataclass
 class Manifest:
     version: int
@@ -64,6 +73,8 @@ class Manifest:
     batch_id: str | None
     schema_json: str
     files: list[dict] = field(default_factory=list)
+    n_buckets: int | None = None
+    bucket_map: list[int] | None = None  # bucket value -> shuffle partition index
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -75,6 +86,8 @@ class Manifest:
                 "parent": self.parent,
                 "batch_id": self.batch_id,
                 "schema": json.loads(self.schema_json),
+                "n_buckets": self.n_buckets,
+                "bucket_map": self.bucket_map,
                 "files": self.files,
             }
         )
@@ -88,6 +101,8 @@ class Manifest:
             batch_id=d.get("batch_id"),
             schema_json=json.dumps(d["schema"]),
             files=d["files"],
+            n_buckets=d.get("n_buckets"),
+            bucket_map=d.get("bucket_map"),
         )
 
 
@@ -104,6 +119,23 @@ class LakeTable:
         self.keys = tuple(keys)
         os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    def _bucket_map(self, n: int) -> list[int]:
+        """bucket value b -> shuffle partition index under repartition(n, expr).
+
+        Spark's HashPartitioning = pmod(murmur3(expr value), n); computed
+        once per table with a tiny n-row job and stored in the manifest so
+        merge-time pruning is pure driver-side arithmetic.
+        """
+        rows = (
+            self.spark.range(n)
+            .select(F.col("id").alias("b"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"))
+            .collect()
+        )
+        out = [0] * n
+        for r in rows:
+            out[r["b"]] = r["p"]
+        return out
 
     # ---------- manifest plumbing ----------
 
@@ -162,14 +194,18 @@ class LakeTable:
 
     # ---------- write path ----------
 
-    def _write_data_files(self, df: DataFrame, version: int, num_files: int | None) -> list[dict]:
-        """Write rows range-partitioned by composite key; return file stats."""
+    def _write_data_files(self, df: DataFrame, version: int, n_buckets: int) -> list[dict]:
+        """Write rows hash-bucketed by key, sorted by key within each file.
+
+        One hash shuffle (no RangePartitioner sampling pass), one file per
+        non-empty bucket; the file name's partition index identifies its
+        bucket set for exact merge-time pruning.
+        """
         out_rel = f"data/commit-{version:08d}"
         out_dir = os.path.join(self.root, out_rel)
         key = composite_key(self.keys)
-        n = num_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         (
-            df.repartitionByRange(n, key)
+            df.repartition(n_buckets, bucket_expr(self.keys, n_buckets))
             .sortWithinPartitions(key)
             .write.mode("overwrite")
             .parquet(out_dir)
@@ -179,8 +215,8 @@ class LakeTable:
             written.groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.count(F.lit(1)).alias("rows"),
-                F.min(composite_key(self.keys)).alias("min_key"),
-                F.max(composite_key(self.keys)).alias("max_key"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
             )
             .collect()
         )
@@ -188,45 +224,76 @@ class LakeTable:
         for r in stats:
             p = r["file"]
             p = p[7:] if p.startswith("file://") else p
+            base = os.path.basename(p)
+            mm = re.match(r"part-(\d+)", base)
             out.append(
                 {
-                    "path": os.path.join(out_rel, os.path.basename(p)),
+                    "path": os.path.join(out_rel, base),
+                    "pindex": int(mm.group(1)) if mm else None,
                     "rows": r["rows"],
                     "min_key": r["min_key"],
                     "max_key": r["max_key"],
                 }
             )
+        # Empty buckets may leave zero-row part files; they carry no data
+        # and would dangle unreferenced — remove them eagerly.
+        referenced = {os.path.basename(f["path"]) for f in out}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname not in referenced:
+                os.unlink(os.path.join(out_dir, fname))
         return sorted(out, key=lambda f: f["path"])
 
     def _affected_files(self, m: Manifest, source: DataFrame) -> tuple[list[dict], list[dict]]:
-        """Split manifest files into (affected, untouched) by key-range overlap.
+        """Split manifest files into (affected, untouched) for this batch.
 
-        The bounds table is tiny (one row per file, driver-side already),
-        so this is a broadcast join against the source's distinct keys —
-        a metadata-scale operation, never a table scan.
+        Bucketed path (normal): the batch's distinct key buckets (a tiny
+        partial-aggregated distinct over the batch) map through the stored
+        bucket_map to shuffle partition indices; affected = files holding
+        one of those indices. Exact for an equi-key MERGE, no table scan.
+
+        Fallback (files lacking a bucket index): key-range overlap via a
+        broadcast nested-loop join against per-file min/max keys.
         """
         if not m.files:
             return [], []
-        bounds = self.spark.createDataFrame(
-            [(f["path"], f["min_key"], f["max_key"]) for f in m.files],
-            "path string, min_key string, max_key string",
-        )
-        skeys = source.select(composite_key(self.keys).alias("k")).distinct()
-        # Inner BNLJ streaming the (potentially large) key set against the
-        # broadcast bounds, then distinct over the tiny path column.
-        hit = (
-            skeys.join(
-                F.broadcast(bounds),
-                (F.col("k") >= F.col("min_key")) & (F.col("k") <= F.col("max_key")),
-                "inner",
+        bucketed = [f for f in m.files if f.get("pindex") is not None]
+        legacy = [f for f in m.files if f.get("pindex") is None]
+        affected: list[dict] = []
+        untouched: list[dict] = []
+
+        if bucketed and m.n_buckets and m.bucket_map:
+            hit_p = {
+                m.bucket_map[r["b"]]
+                for r in source.select(
+                    bucket_expr(self.keys, m.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            for f in bucketed:
+                (affected if f["pindex"] in hit_p else untouched).append(f)
+        else:
+            legacy = m.files
+
+        if legacy:
+            bounds = self.spark.createDataFrame(
+                [(f["path"], f["min_key"], f["max_key"]) for f in legacy],
+                "path string, min_key string, max_key string",
             )
-            .select("path")
-            .distinct()
-            .collect()
-        )
-        hit_paths = {r["path"] for r in hit}
-        affected = [f for f in m.files if f["path"] in hit_paths]
-        untouched = [f for f in m.files if f["path"] not in hit_paths]
+            skeys = source.select(composite_key(self.keys).alias("k")).distinct()
+            hit = (
+                skeys.join(
+                    F.broadcast(bounds),
+                    (F.col("k") >= F.col("min_key")) & (F.col("k") <= F.col("max_key")),
+                    "inner",
+                )
+                .select("path")
+                .distinct()
+                .collect()
+            )
+            hit_paths = {r["path"] for r in hit}
+            for f in legacy:
+                (affected if f["path"] in hit_paths else untouched).append(f)
         return affected, untouched
 
     @staticmethod
@@ -266,6 +333,14 @@ class LakeTable:
         """
         m = self.manifest()
         version = (m.version if m else 0) + 1
+        # Bucket layout is fixed at table creation; later merges must use
+        # the stored count or bucket->file pruning would break.
+        if m is not None and m.n_buckets:
+            n_buckets = m.n_buckets
+            bucket_map = m.bucket_map
+        else:
+            n_buckets = num_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            bucket_map = self._bucket_map(n_buckets)
         # Stored schema = full event envelope including op (tombstone
         # retention — see plans/merge.py module docstring).
         state_schema = source_events.schema
@@ -294,13 +369,15 @@ class LakeTable:
 
         # Align to evolved schema (stable column order across commits).
         merged = merged.select(*[F.col(f.name) for f in new_schema.fields])
-        new_files = self._write_data_files(merged, version, num_files)
+        new_files = self._write_data_files(merged, version, n_buckets)
         manifest = Manifest(
             version=version,
             parent=m.version if m else None,
             batch_id=batch_id,
             schema_json=json.dumps(new_schema.jsonValue()),
             files=sorted(untouched + new_files, key=lambda f: f["path"]),
+            n_buckets=n_buckets,
+            bucket_map=bucket_map,
         )
         self._publish(manifest)
         return manifest
@@ -309,13 +386,20 @@ class LakeTable:
         """Replace the whole table state (initial load / test setup)."""
         m = self.manifest()
         version = (m.version if m else 0) + 1
-        new_files = self._write_data_files(df, version, num_files)
+        if m is not None and m.n_buckets:
+            n_buckets, bucket_map = m.n_buckets, m.bucket_map
+        else:
+            n_buckets = num_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            bucket_map = self._bucket_map(n_buckets)
+        new_files = self._write_data_files(df, version, n_buckets)
         manifest = Manifest(
             version=version,
             parent=m.version if m else None,
             batch_id=batch_id,
             schema_json=json.dumps(df.schema.jsonValue()),
             files=new_files,
+            n_buckets=n_buckets,
+            bucket_map=bucket_map,
         )
         self._publish(manifest)
         return manifest
@@ -341,13 +425,16 @@ class LakeTable:
                 keep = keep | (F.col("seq") > tombstone_watermark_seq)
             df = df.filter(keep)
         version = m.version + 1
-        new_files = self._write_data_files(df, version, num_files)
+        n_buckets = m.n_buckets or num_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        new_files = self._write_data_files(df, version, n_buckets)
         manifest = Manifest(
             version=version,
             parent=m.version,
             batch_id=f"compact-{version}",
             schema_json=m.schema_json,
             files=new_files,
+            n_buckets=n_buckets,
+            bucket_map=m.bucket_map or self._bucket_map(n_buckets),
         )
         self._publish(manifest)
         return manifest
