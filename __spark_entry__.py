@@ -37,7 +37,10 @@ from pyorchdb_spark.operators.dedup_docs import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pyorchdb_spark.operators.similarity import brute_force_topk  # noqa: E402
+from pyorchdb_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_neardup_pairs,
+)
 from pyorchdb_spark.plans.merge import resolve_merge  # noqa: E402
 
 
@@ -297,6 +300,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.sha2("text", 256).alias("fp"))
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; LSH path below)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, exact=True).select("id_a", "id_b")
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed near-dup pairs — scale path, verified-exact cosine
+    (no SQL oracle: recall depends on the hash family; subset property
+    is tested in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, exact=False, n_bits=6).select("id_a", "id_b")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -331,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
@@ -486,6 +505,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, sha256(text) AS fp FROM documents",
+        "dedup_embedding": """
+            SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.3
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 3),

@@ -138,3 +138,43 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     hits = e.join(a, ["query_id", "corpus_id"], "left_semi").count()
     total = e.count()
     return hits / total if total else 1.0
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    dim: int | None = None,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine >= threshold.
+
+    ``exact=False`` (scale path): SRP-bucketed candidates — two vectors at
+    cosine >= 0.95 agree on a random hyperplane with p ~ 1 - theta/pi
+    ~ 0.9; candidate enumeration is an equi-join on the bucket id, then
+    exact cosine verification, so there are no false positives and recall
+    is bounded by bucket agreement (raise via multi-probe or fewer bits).
+
+    ``exact=True`` (baseline/oracle shape): all-pairs within the whole
+    set via a broadcast self-join — O(n^2) cosine evaluations, only for
+    modest n or as the correctness reference.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if exact:
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = vectors.select(F.size(vec_col)).first()[0]
+        bucketer = srp_bucket_udf(_hyperplanes(dim, n_bits, seed))
+        a = a.withColumn("bucket", bucketer(F.col("v_a")))
+        b = b.withColumn("bucket", bucketer(F.col("v_b")))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -72,3 +72,35 @@ def test_ann_on_driver_testdata(spark, sf_dir):
     queries = emb.orderBy("vec_id").limit(3)
     out = brute_force_topk(emb, queries, k=5)
     assert out.groupBy("query_id").count().filter("count != 5").isEmpty()
+
+
+def test_embedding_neardup_exact_vs_numpy(spark):
+    from pyorchdb_spark.operators.similarity import embedding_neardup_pairs
+
+    df = _vecs(spark, n=80)
+    got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.3, exact=True).collect()}
+    rows = df.collect()
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ids = [r["vec_id"] for r in rows]
+    exp = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.3
+    }
+    assert got == exp
+
+
+def test_embedding_neardup_lsh_subset_with_recall(spark):
+    from pyorchdb_spark.operators.similarity import embedding_neardup_pairs
+
+    df = _clustered_vecs(spark).cache()
+    try:
+        exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.9, exact=True).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, threshold=0.9, exact=False, n_bits=6).collect()}
+        assert lsh <= exact  # verified candidates: no false positives
+        assert exact and len(lsh) / len(exact) >= 0.5  # cluster-mates mostly share buckets
+    finally:
+        df.unpersist()
