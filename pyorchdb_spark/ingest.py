@@ -35,6 +35,21 @@ class ApplyResult:
     version: int | None
     rows_in: int
     table_rows_after: int
+    rows_rejected: int = 0
+
+
+# C3 quarantine predicate: an event must carry a key, a sequence, and a
+# recognized op to be applicable; anything else goes to _rejects.
+def invalid_reason(keys=("repo", "path")):
+    key_null = None
+    for k in keys:
+        cond = F.col(k).isNull() | (F.col(k) == "")
+        key_null = cond if key_null is None else (key_null | cond)
+    return (
+        F.when(key_null, F.lit("null_or_empty_key"))
+        .when(F.col("seq").isNull(), F.lit("null_seq"))
+        .when(~F.col("op").isin("upsert", "delete"), F.lit("unknown_op"))
+    )
 
 
 def prepare_events(events: DataFrame, jvm_only: bool = False) -> DataFrame:
@@ -86,6 +101,14 @@ def apply_batch(
 
     prepared = prepare_events(events, jvm_only=jvm_only_udfs)
 
+    # C3 quarantine: divert invalid rows to _rejects, merge the rest.
+    reason = invalid_reason(lake.keys)
+    rejected = ledger.record_rejects(
+        batch_id, prepared.withColumn("reject_reason", reason).filter(F.col("reject_reason").isNotNull())
+    )
+    if rejected:
+        prepared = prepared.filter(reason.isNull())
+
     # The merge runs several actions over the batch (pruning-key scan, the
     # data-file write, lineage agg) — cache the prepared batch so the
     # pandas UDFs run once. Batches are bounded; the table itself never is.
@@ -111,7 +134,14 @@ def apply_batch(
         if cache_batch:
             prepared.unpersist()
     ledger.commit_marker(batch_id, manifest.version, rows_in)
-    return ApplyResult(batch_id, skipped=False, version=manifest.version, rows_in=rows_in, table_rows_after=table_rows)
+    return ApplyResult(
+        batch_id,
+        skipped=False,
+        version=manifest.version,
+        rows_in=rows_in,
+        table_rows_after=table_rows,
+        rows_rejected=rejected,
+    )
 
 
 def replay(

@@ -117,3 +117,24 @@ class BatchLedger:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
         except Exception:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    # ---------- quarantine (C3: error-row removal, reborn) ----------
+    # The reference silently drops whole tables that fail processing
+    # (PyOrchDB/main.py:144-149,300-309) and scrubs them from the catalog
+    # (main.py:369-378). The engine quarantines *rows* instead: invalid
+    # events are diverted to an append-only _rejects table with a reason,
+    # so nothing is lost and reprocessing is possible.
+
+    def record_rejects(self, batch_id: str, rejects: DataFrame) -> int:
+        """Append invalid events (+ reject_reason) for this batch; returns count."""
+        rejects_dir = os.path.join(self.root, "_rejects")
+        n = rejects.count()
+        if n:
+            rejects.withColumn("batch_id_rejected", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(rejects_dir)
+        return n
+
+    def rejects(self) -> DataFrame:
+        rejects_dir = os.path.join(self.root, "_rejects")
+        return self.spark.read.parquet(rejects_dir)
