@@ -101,12 +101,17 @@ def apply_batch(
 
     prepared = prepare_events(events, jvm_only=jvm_only_udfs)
 
-    # C3 quarantine: divert invalid rows to _rejects, merge the rest.
+    # One key-columns-only pass over the batch: lineage metrics + C3
+    # quarantine detection together (the sha UDF is column-pruned out).
     reason = invalid_reason(lake.keys)
-    rejected = ledger.record_rejects(
-        batch_id, prepared.withColumn("reject_reason", reason).filter(F.col("reject_reason").isNotNull())
-    )
+    metrics = ledger.collect_partition_metrics(prepared, invalid_reason=reason)
+    rejected = int(sum(r["n_invalid"] for r in metrics))
     if rejected:
+        # divert invalid rows to _rejects, merge the rest
+        ledger.record_rejects(
+            batch_id,
+            prepared.withColumn("reject_reason", reason).filter(F.col("reject_reason").isNotNull()),
+        )
         prepared = prepared.filter(reason.isNull())
 
     # The merge runs several actions over the batch (pruning-key scan, the
@@ -127,9 +132,9 @@ def apply_batch(
         manifest = lake.merge(
             prepared, batch_id=batch_id, salted=salted, n_salts=n_salts, num_files=num_files
         )
-        # Lineage after the merge action (cheap: cached scan + tiny shuffle).
+        # Lineage from the already-collected metrics (no extra pass).
         table_rows = sum(f["rows"] for f in manifest.files)
-        rows_in = ledger.record_lineage(batch_id, prepared, table_rows_after=table_rows)
+        rows_in = ledger.record_lineage(batch_id, metrics, table_rows_after=table_rows)
     finally:
         if cache_batch:
             prepared.unpersist()

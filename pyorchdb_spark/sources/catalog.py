@@ -86,31 +86,35 @@ class BatchLedger:
 
     # ---------- lineage ----------
 
-    def record_lineage(self, batch_id: str, source_events: DataFrame, table_rows_after: int) -> int:
-        """Per-partition ingest metrics for this batch, appended as parquet.
-
-        Returns total input rows (the per-partition rows are collected —
-        one tiny row per task — so the caller gets the count for free).
-        """
+    def collect_partition_metrics(self, source_events: DataFrame, invalid_reason=None) -> list:
+        """One pass over the batch: per-partition rows/tombstones/max_seq
+        (+ invalid count when a quarantine predicate is given). Collected
+        driver-side — one tiny row per task."""
         seq_col = "seq" if "seq" in source_events.columns else source_events.columns[0]
-        rows = (
+        aggs = [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
+            F.max(seq_col).alias("max_seq"),
+        ]
+        if invalid_reason is not None:
+            aggs.append(F.sum(invalid_reason.isNotNull().cast("long")).alias("n_invalid"))
+        return (
             source_events.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
-                F.max(seq_col).alias("max_seq"),
-            )
+            .agg(*aggs)
             .collect()
         )
+
+    def record_lineage(self, batch_id: str, metrics_rows: list, table_rows_after: int) -> int:
+        """Append per-partition ingest metrics (from collect_partition_metrics)."""
         per_part = self.spark.createDataFrame(
             [
                 (batch_id, int(r["partition_id"]), r["rows_in"], r["tombstones"], r["max_seq"], table_rows_after)
-                for r in rows
+                for r in metrics_rows
             ],
             LINEAGE_SCHEMA,
         )
         per_part.coalesce(1).write.mode("append").parquet(self.lineage_dir)
-        return int(sum(r["rows_in"] for r in rows))
+        return int(sum(r["rows_in"] for r in metrics_rows))
 
     def lineage(self) -> DataFrame:
         try:
@@ -125,15 +129,12 @@ class BatchLedger:
     # events are diverted to an append-only _rejects table with a reason,
     # so nothing is lost and reprocessing is possible.
 
-    def record_rejects(self, batch_id: str, rejects: DataFrame) -> int:
-        """Append invalid events (+ reject_reason) for this batch; returns count."""
+    def record_rejects(self, batch_id: str, rejects: DataFrame) -> None:
+        """Append invalid events (+ reject_reason) for this batch."""
         rejects_dir = os.path.join(self.root, "_rejects")
-        n = rejects.count()
-        if n:
-            rejects.withColumn("batch_id_rejected", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(rejects_dir)
-        return n
+        rejects.withColumn("batch_id_rejected", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(rejects_dir)
 
     def rejects(self) -> DataFrame:
         rejects_dir = os.path.join(self.root, "_rejects")

@@ -22,7 +22,7 @@ def test_invalid_rows_quarantined(spark, tmp_path):
     ]
     res = apply_batch(lake, ledger, spark.createDataFrame(rows, DDL), "b0", num_files=1)
     assert res.rows_rejected == 4
-    assert res.rows_in == 1
+    assert res.rows_in == 5  # lineage records raw input; rejects tracked apart
 
     snap = lake.snapshot()
     assert [r["path"] for r in snap.collect()] == ["ok.py"]
