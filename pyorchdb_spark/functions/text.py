@@ -106,21 +106,27 @@ def content_fingerprint(col) -> Column:
 @F.pandas_udf(LongType())
 def winnow_fingerprint(s: pd.Series) -> pd.Series:
     """Winnowing-style rolling-hash fingerprint (Schleimer et al. 2003):
-    min 8-gram hash over a window — robust to local edits. Vectorized
-    pandas UDF; no SQL oracle (non-relational), tested property-style."""
+    min 8-gram polynomial hash — robust to local edits. Fully vectorized:
+    the k-gram hashes for a document are one numpy sliding-window matmul
+    (int64 wraparound arithmetic = mod 2^64), no per-window Python.
+    No SQL oracle (non-relational); tested property-style."""
+    import numpy as np
+
+    k = 8
+    # odd multiplier -> full-period mixing under mod-2^64 wraparound
+    powers = (np.uint64(0x9E3779B97F4A7C15) ** np.arange(k, dtype=np.uint64)).astype(np.uint64)
 
     def one(text: str | None) -> int | None:
         if text is None:
             return None
-        t = text.encode("utf-8")
-        k = 8
+        t = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
         if len(t) <= k:
-            return int.from_bytes(hashlib.sha256(t).digest()[:8], "big") >> 1
-        best = None
-        for i in range(len(t) - k + 1):
-            h = int.from_bytes(hashlib.blake2b(t[i : i + k], digest_size=8).digest(), "big")
-            if best is None or h < best:
-                best = h
-        return best >> 1  # fit in signed int64
+            return int.from_bytes(hashlib.sha256(t.tobytes()).digest()[:8], "big") >> 1
+        win = np.lib.stride_tricks.sliding_window_view(t, k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+            # one extra mixing round to decorrelate adjacent windows
+            hashes = (hashes ^ (hashes >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return int(hashes.min() >> np.uint64(1))  # fit signed int64
 
     return s.map(one)
