@@ -295,6 +295,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_path pandas UDF, oracle-checked: synthesize noisy paths
+    from the documents table, normalize, compare against the regexp form."""
+    from pyorchdb_spark.functions.udfs import normalize_path
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(F.lit("./"), F.col("source"), F.lit("//docs///"), F.col("lang"), F.lit("/")).alias("p"),
+    )
+    return noisy.select("doc_id", normalize_path("p").alias("norm_path"))
+
+
+def q_sha256_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256_content pandas UDF, oracle-checked against DuckDB sha256."""
+    from pyorchdb_spark.functions.udfs import sha256_content
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", sha256_content("text").alias("sha"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("fp"))
@@ -312,6 +333,18 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tested in tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.3, exact=False, n_bits=6).select("id_a", "id_b")
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table (rows-only check: KMeans cells
+    are model-dependent; recall vs brute force asserted in pytest)."""
+    from pyorchdb_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).select(
+        "query_id", "corpus_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
+        "normalize_paths": q_normalize_paths,
+        "sha256_udf": q_sha256_udf,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -505,6 +541,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, sha256(text) AS fp FROM documents",
+        "normalize_paths": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace('./' || source || '//docs///' || lang || '/', '^(\\./)+', ''),
+                       '/{2,}', '/', 'g'),
+                     '(.)/$', '\\1') AS norm_path
+            FROM documents
+        """,
+        "sha256_udf": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "dedup_embedding": """
             SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

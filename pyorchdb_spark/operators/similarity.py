@@ -178,3 +178,68 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe cells.
+
+    The classic FAISS-style scale path: train a small KMeans (MLlib,
+    seeded → deterministic) as the coarse quantizer, assign every corpus
+    vector to its nearest centroid cell, and have each query search only
+    its ``n_probe`` nearest cells with exact cosine re-ranking. Candidate
+    generation is an equi-join on the cell id — the corpus is scanned
+    once to assign cells, never cross-joined.
+
+    At 100 TB the cell assignment is a write-time partitioning (store the
+    table bucketed by cell) and queries touch n_probe/n_cells of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = [c.tolist() for c in km.clusterCenters()]
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+        )
+    )
+
+    def assign(df, id_alias, vec_alias, top_cells):
+        scored = (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            .join(centers_df)
+            .withColumn("_d", cosine(F.col(vec_alias).cast("array<double>"), F.col("center")))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("_d"), F.asc("cell"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_cells)
+            .select(id_alias, vec_alias, "cell")
+        )
+
+    c = assign(corpus, "corpus_id", "c_vec", 1)
+    q = assign(queries, "query_id", "q_vec", n_probe)
+
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )

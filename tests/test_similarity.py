@@ -104,3 +104,16 @@ def test_embedding_neardup_lsh_subset_with_recall(spark):
         assert exact and len(lsh) / len(exact) >= 0.5  # cluster-mates mostly share buckets
     finally:
         df.unpersist()
+
+
+def test_ivf_topk_recall(spark):
+    from pyorchdb_spark.operators.similarity import ivf_topk
+
+    df = _clustered_vecs(spark, n_clusters=20, per_cluster=5).cache()
+    try:
+        queries = df.limit(6)
+        exact = brute_force_topk(df, queries, k=3)
+        approx = ivf_topk(df, queries, k=3, n_cells=10, n_probe=3)
+        assert recall_at_k(exact, approx, k=3) >= 0.8
+    finally:
+        df.unpersist()
