@@ -316,6 +316,22 @@ def q_sha256_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sha256_content("text").alias("sha"))
 
 
+def q_lang_of_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_of_path pandas UDF, oracle-checked: extension -> language tag."""
+    from pyorchdb_spark.functions.udfs import lang_of_path
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.col("lang") == "en", F.lit(".py"))
+        .when(F.col("lang") == "es", F.lit(".md"))
+        .when(F.col("lang") == "de", F.lit(".rs"))
+        .when(F.col("lang") == "fr", F.lit(".ts"))
+        .otherwise(F.lit(".bin"))
+    )
+    paths = docs.select("doc_id", F.concat(F.col("source"), F.lit("/f"), ext).alias("p"))
+    return paths.select("doc_id", lang_of_path("p").alias("lang_tag"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("fp"))
@@ -387,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "normalize_paths": q_normalize_paths,
         "sha256_udf": q_sha256_udf,
+        "lang_of_path": q_lang_of_path,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
     }
@@ -551,6 +568,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sha256_udf": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "lang_of_path": """
+            SELECT doc_id,
+                   CASE lang WHEN 'en' THEN 'python' WHEN 'es' THEN 'markdown'
+                             WHEN 'de' THEN 'rust' WHEN 'fr' THEN 'typescript'
+                             ELSE 'unknown' END AS lang_tag
+            FROM documents
+        """,
         "dedup_embedding": """
             SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
