@@ -280,6 +280,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair -> group resolution: connected components over near-dup pairs
+    (min-label propagation + pointer jumping, operators/components.py);
+    oracle = DuckDB recursive-CTE transitive closure."""
+    from pyorchdb_spark.operators.components import resolve_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, n=1, block_col="lang")
+    return resolve_groups(pairs).select("component_id", "n_members", "rep_id")
+
+
+def q_dedup_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: drop every non-representative member of
+    each near-dup component; returns surviving doc ids."""
+    from pyorchdb_spark.operators.components import drop_duplicates_by_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, n=1, block_col="lang")
+    return drop_duplicates_by_pairs(docs, pairs, id_col="doc_id").select("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
@@ -395,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
+        "dedup_fuzzy_resolve": q_dedup_fuzzy_resolve,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -543,6 +566,62 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.blk = b.blk AND a.id < b.id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id AS id, lang AS blk,
+                     list_distinct({_TOKENS}) AS grams
+              FROM documents
+            ),
+            edges AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sig a JOIN sig b ON a.blk = b.blk AND a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+            ),
+            und AS (
+              SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(a, b) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.a, u.d FROM reach r JOIN und u ON r.b = u.s
+            ),
+            comp AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a
+            )
+            SELECT CAST(component_id AS BIGINT) AS component_id,
+                   count(*) AS n_members,
+                   CAST(min(id) AS BIGINT) AS rep_id
+            FROM comp GROUP BY component_id
+        """,
+        "dedup_fuzzy_resolve": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id AS id, lang AS blk,
+                     list_distinct({_TOKENS}) AS grams
+              FROM documents
+            ),
+            edges AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sig a JOIN sig b ON a.blk = b.blk AND a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+            ),
+            und AS (
+              SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(a, b) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.a, u.d FROM reach r JOIN und u ON r.b = u.s
+            ),
+            comp AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component_id)
         """,
         # dedup_minhash_lsh / dedup_simhash: intentionally no SQL oracle —
         # hash-family-specific (xxhash64 banding); driver records the

@@ -48,7 +48,13 @@ def invalid_reason(keys=("repo", "path")):
     return (
         F.when(key_null, F.lit("null_or_empty_key"))
         .when(F.col("seq").isNull(), F.lit("null_seq"))
-        .when(~F.col("op").isin("upsert", "delete"), F.lit("unknown_op"))
+        .when(
+            # NULL-safe: ~isin(...) is NULL (not true) for op=NULL, which
+            # would let the row slip past quarantine into stored state and
+            # then vanish from reads (op != 'delete' drops NULL too).
+            F.col("op").isNull() | ~F.col("op").isin("upsert", "delete"),
+            F.lit("unknown_op"),
+        )
     )
 
 

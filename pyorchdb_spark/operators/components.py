@@ -1,0 +1,132 @@
+"""Pair → group resolution for the fuzzy-dedup suite (connected components).
+
+Every approximate dedup strategy (``dedup_docs``, ``similarity``) emits
+*pairs* ``(id_a, id_b)``; an actual dedup needs the transitive closure of
+those pairs — duplicate **groups** — plus a representative per group so
+the non-representatives can be dropped. This module closes that gap
+(reference analogue: ``merge_by_similarity`` clusters whole *tables* by
+name distance, PyOrchDB/main.py:162-168; here the same resolve-then-keep
+is taken to row granularity).
+
+Algorithm: iterative **min-label propagation with pointer jumping**, pure
+DataFrame joins — the MapReduce-style connected-components family
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — hash-to-min). Per round each node takes the min of
+
+    its own label,  its neighbors' labels,  its label's label  (pointer jump)
+
+The neighbor step alone converges in O(diameter) rounds; the pointer jump
+contracts chains geometrically, giving O(log n) rounds on pathological
+paths. Dedup graphs are overwhelmingly small dense cliques (near-dup
+clusters), so 2-3 rounds is typical.
+
+Scale shape (100 TB): per round = two hash-shuffle joins keyed by node id
+(edges are persisted once and re-joined each round; labels shrink to one
+row per node) + one partial-aggregated groupBy(id).min. No collect of
+node/edge data — the only driver-side value per round is a one-row
+convergence checksum. Lineage is truncated every round with
+``localCheckpoint`` so the plan does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve undirected pairs into components: (id, component).
+
+    ``component`` is the minimum node id reachable from ``id`` — a stable,
+    deterministic group key. Only nodes that appear in some pair are
+    returned (singletons are trivially their own component).
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .union(pairs.select(F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor messages: every node offers its label to its neighbors
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"), "component")
+        )
+        # pointer jump: follow my label to ITS label (path halving)
+        jump = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("id").alias("component"), F.col("component").alias("jumped")
+                ).alias("r"),
+                "component",
+            )
+            .select("l.id", F.col("jumped").alias("component"))
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+        # monotone convergence witness: sum(component) strictly decreases
+        # until fixpoint (decimal(38) — no long overflow at 1e10 ids)
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum is None or cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+def resolve_groups(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Duplicate groups from pair output: (component_id, n_members, rep_id).
+
+    ``rep_id`` (the survivor) is the minimum member id — deterministic.
+    Components here always have >= 2 members (every returned node came
+    from a pair).
+    """
+    cc = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    return cc.groupBy(F.col("component").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("rep_id"),
+    )
+
+
+def drop_duplicates_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: keep one representative per duplicate group.
+
+    Survivors = rows not in any pair (untouched) + the min-id member of
+    each component. The drop set (component members that are not their
+    component's min) is produced by the label table itself — one filter,
+    then a left-anti join back to the data keyed on id.
+    """
+    cc = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

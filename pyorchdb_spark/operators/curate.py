@@ -90,7 +90,13 @@ def insert_period(df: DataFrame, source_col: str, out_col: str = "periodo") -> D
         return df
     date = F.regexp_extract(F.col(source_col), r"(\d{4}-\d{2}-\d{2})", 1)
     year = F.regexp_extract(F.col(source_col), r".*([1-2][0-9]{3})", 1)
-    return df.withColumn(out_col, F.when(date != "", date).otherwise(F.when(year != "", year)))
+    # Reference inserts "" (not NULL) when neither regex matches
+    # (tools.py:202) — keep that contract so downstream group-bys see one
+    # empty-string bucket instead of a null bucket.
+    return df.withColumn(
+        out_col,
+        F.when(date != "", date).otherwise(F.when(year != "", year).otherwise(F.lit(""))),
+    )
 
 
 def filter_nonempty_tables(dfs: Sequence[DataFrame], names: Sequence[str]):

@@ -218,18 +218,32 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Banding: split 64 bits into 4 x 16-bit chunks; any pair within
-    hamming<=3 shares at least one chunk exactly (pigeonhole), so a
-    4-way chunk-equality join finds all of them; verify with bit_count.
+    Banding: split 64 bits into ``max_hamming + 1`` chunks; a pair within
+    ``max_hamming`` differing bits leaves at least one chunk identical
+    (pigeonhole — completeness holds for ANY max_hamming because the
+    chunk count is derived from it, not fixed), so a chunk-equality join
+    finds every qualifying pair; verify with bit_count.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64 for 64-bit simhash banding")
     sh = simhash64(docs, text_col, id_col)
+    # chunk c covers bits [starts[c], starts[c+1]) — near-even split of 64
+    starts = [round(c * 64 / n_chunks) for c in range(n_chunks + 1)]
+
+    def _mask(width: int):
+        # (1 << 64) - 1 overflows a JVM long literal; -1L is all-ones.
+        return F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
+
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                F.shiftright("simhash", starts[c])
+                .bitwiseAND(_mask(starts[c + 1] - starts[c]))
+                .alias("ck"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ]
     )
     banded = sh.select("id", "simhash", F.explode(chunks).alias("b")).select(

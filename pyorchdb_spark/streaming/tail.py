@@ -20,6 +20,9 @@ log, in bounded micro-batches — the batch/stream unification point.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -58,12 +61,18 @@ def tail_events(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(events_path)
 
+    # Markers are namespaced by the checkpoint identity, not just the
+    # epoch id: epoch ids restart at 0 if the checkpoint dir is deleted or
+    # a second stream (different checkpoint) feeds the same table, and a
+    # bare "stream-{epoch}" marker would silently skip those batches.
+    stream_ns = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
     def _apply(batch_df, epoch_id: int) -> None:
         apply_batch(
             lake,
             ledger,
             batch_df,
-            batch_id=f"stream-{epoch_id:08d}",
+            batch_id=f"stream-{stream_ns}-{epoch_id:08d}",
             salted=salted,
             n_salts=n_salts,
             num_files=num_files,

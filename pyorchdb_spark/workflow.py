@@ -154,10 +154,15 @@ class ETLWorkflow:
             if ledger.is_committed(batch_id):
                 rows[name] = lake.snapshot().count()
                 continue
-            # adapt a keyed table to the CDC envelope: synthetic seq/op
-            ev = df.withColumn("seq", F.monotonically_increasing_id()).withColumn(
-                "op", F.lit("upsert")
-            )
+            # adapt a keyed table to the CDC envelope: synthetic seq/op.
+            # seq is derived from row CONTENT (xxhash64 of every column),
+            # not monotonically_increasing_id(): content-derived seqs are
+            # stable across runs/partitionings, so the LWW winner among
+            # duplicate keys is deterministic and a crash-then-retry
+            # re-merge reproduces byte-identical state (idempotency).
+            ev = df.withColumn(
+                "seq", F.xxhash64(*[F.col(c) for c in df.columns])
+            ).withColumn("op", F.lit("upsert"))
             manifest = lake.merge(ev, batch_id=batch_id)
             ledger.commit_marker(batch_id, manifest.version, rows_in=df.count())
             rows[name] = lake.snapshot().count()

@@ -40,7 +40,8 @@ def test_filters_and_period(spark):
     per = {r["path"]: r["periodo"] for r in insert_period(df, "path").collect()}
     assert per["data/sales_2024-01-15.csv"] == "2024-01-15"
     assert per["other/report_1999.xlsx"] == "1999"
-    assert per["data/catalog.csv"] is None
+    # reference inserts "" (not NULL) when neither regex matches (tools.py:202)
+    assert per["data/catalog.csv"] == ""
 
 
 def test_distinct_directories(spark):
