@@ -91,3 +91,60 @@ def test_word_ngrams_shingles(spark):
     short = spark.createDataFrame([(1, "a b")], "id long, text string")
     out2 = short.select(word_ngrams("text", 3).alias("g")).first()["g"]
     assert out2 == ["a b"]
+
+
+def test_minhash_candidate_exchange_is_signature_only(spark):
+    """VERDICT round 1 item 2: no gram/content array may ride the banded
+    shuffle — candidates move (id, band, bucket) only."""
+    from pyorchdb_spark.operators.dedup_docs import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=16, n=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "grams" not in plan
+    assert cand.columns == ["id_a", "id_b"]
+
+
+def test_ngram_jaccard_salt_invariance_and_size_banding(spark):
+    """The shuffled (block, size-band, salt) join is lossless: results are
+    identical across salt counts, and a pair at the exact size-ratio
+    boundary (|A|=4, |B|=8, J=0.5) is still found in adjacent bands."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None, n_salts=1).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None, n_salts=5).collect()
+    }
+    assert base == salted
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    got = ngram_jaccard_pairs(df, threshold=0.5, n=1, block_col=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert abs(got[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_ngram_jaccard_no_broadcast_hint(spark):
+    """The plan must not carry a user broadcast hint on an unbounded side
+    (statistics-driven broadcast by Catalyst/AQE remains allowed)."""
+    ng = ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None)
+    logical = ng._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_simhash_large_hamming_complete(spark):
+    """Chunk count derives from max_hamming: results at h=8 must contain
+    every pair a brute-force hamming check finds."""
+    from pyorchdb_spark.operators.dedup_docs import simhash64
+
+    sh = {r["id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(_docs(spark), max_hamming=8).collect()}
+    assert got == brute
