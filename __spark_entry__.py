@@ -353,6 +353,21 @@ def q_lang_of_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.select("doc_id", lang_of_path("p").alias("lang_tag"))
 
 
+def q_clean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — general value cleaning (reference clean_db): accents folded,
+    case/whitespace normalized; oracle = DuckDB strip_accents chain."""
+    from pyorchdb_spark.operators.curate import clean_string_values
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  Café  "), F.upper("source"), F.lit("  ÑANDÚ\t"), F.col("lang")
+        ).alias("cleaned"),
+    )
+    return clean_string_values(noisy, cols=["cleaned"])
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2("text", 256).alias("fp"))
@@ -429,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
+        "clean_values": q_clean_values,
         "fingerprint": q_fingerprint,
         "normalize_paths": q_normalize_paths,
         "sha256_udf": q_sha256_udf,
@@ -668,6 +684,14 @@ def oracle_sql() -> dict[str, str]:
                              / len({_TOKENS})
                         ELSE 0.0 END AS stop_ratio_en,
                    {_lang_id_sql()} AS lang_guess
+            FROM documents
+        """,
+        "clean_values": """
+            SELECT doc_id,
+                   regexp_replace(
+                     trim(lower(strip_accents(
+                       '  Café  ' || upper(source) || '  ÑANDÚ' || chr(9) || lang))),
+                     '\\s+', ' ', 'g') AS cleaned
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, sha256(text) AS fp FROM documents",

@@ -136,7 +136,14 @@ def apply_batch(
         prepared = prepared.persist()
     try:
         manifest = lake.merge(
-            prepared, batch_id=batch_id, salted=salted, n_salts=n_salts, num_files=num_files
+            prepared,
+            batch_id=batch_id,
+            salted=salted,
+            n_salts=n_salts,
+            num_files=num_files,
+            # first-batch volume hint: sizes the initial bucket count so
+            # files start near target_rows_per_file instead of a fixed 32
+            rows_hint=int(sum(r["rows_in"] for r in metrics)),
         )
         # Lineage from the already-collected metrics (no extra pass).
         table_rows = sum(f["rows"] for f in manifest.files)

@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyorchdb_spark.operators.curate import (
+    align_schemas,
+    clean_string_values,
+    coerce_inferable_types,
     drop_columns,
     drop_empty_columns,
     drop_unnamed_columns,
@@ -45,13 +48,46 @@ from pyorchdb_spark.operators.curate import (
 @dataclass
 class WorkflowConfig:
     """Pure-config replacement for the reference's YAML + prompts
-    (utilities/config_data.yml, table_names.yml)."""
+    (utilities/config_data.yml, table_names.yml).
+
+    ``table_renames`` mirrors the reference's hierarchical YAML
+    (utilities/catalog.py:17-47): values are either a plain new name, or
+    a sub-dict matched against the rest of the table name with an
+    optional ``"None"`` default entry (used when ``default_name``).
+    """
 
     columns_to_delete: list[str] = field(default_factory=list)
     columns_to_rename: dict[str, str] = field(default_factory=dict)
-    table_renames: dict[str, str] = field(default_factory=dict)
+    table_renames: dict[str, "str | dict[str, str]"] = field(default_factory=dict)
+    default_name: bool = False
     snake_case: bool = True
+    clean_values: bool = False  # P9: accent/case/whitespace cell cleaning
     name_distance: int = 3  # union tables whose names are within this edit distance
+    # minimum shared columns for two same-ish-named tables to be unioned
+    # (reference merge_by_similarity match_cols, run_workflow.py:26) —
+    # guards against unioning same-named but differently-shaped tables
+    match_cols: int = 2
+
+
+def map_table_name(
+    name: str, mapping: dict[str, "str | dict[str, str]"], default_name: bool = False
+) -> str:
+    """Reference ``set_table_names`` semantics (utilities/catalog.py:17-47):
+    first top-level key whose first word occurs in ``name`` wins; a dict
+    value is matched again on sub-keys, falling back to its ``"None"``
+    entry only when ``default_name`` is set."""
+    for key, value in mapping.items():
+        if key.split()[0] not in name:
+            continue
+        if isinstance(value, str):
+            return value
+        for sub_key, sub_val in value.items():
+            if sub_key != "None" and sub_key.split()[0] in name:
+                return sub_val
+        if default_name:
+            return value.get("None", name)
+        return name
+    return name
 
 
 def _edit_distance(a: str, b: str) -> int:
@@ -77,17 +113,23 @@ class ETLWorkflow:
 
     # ---------- build ----------
 
-    def build(self, csv_paths: list[str]) -> "ETLWorkflow":
-        """Read + fix each raw csv, then cluster-and-union similar tables."""
+    def build(self, paths: list[str]) -> "ETLWorkflow":
+        """Read + fix each raw csv/xlsx, then cluster-and-union similar
+        tables (reference regex ``\\w+\\.(xlsx|csv)``, main.py:137-139)."""
         raw: dict[str, DataFrame] = {}
-        for p in csv_paths:
+        for p in paths:
             name = re.sub(r"\.(csv|xlsx)$", "", os.path.basename(p))
             name = re.sub(r"[\s\-]+", "_", name).lower()
             # strip trailing date/year stamps so periodic drops of the same
             # entity cluster together (the period lives in the 'periodo'
             # column, not the table identity — tools.py:183-207)
             name = re.sub(r"_?\d{4}(_\d{2}(_\d{2})?)?$", "", name) or name
-            df = self.spark.read.csv(p, header=True, inferSchema=True)
+            if p.endswith(".xlsx"):
+                from pyorchdb_spark.sources.xlsx import read_xlsx
+
+                df = coerce_inferable_types(read_xlsx(self.spark, p))
+            else:
+                df = self.spark.read.csv(p, header=True, inferSchema=True)
             df = drop_unnamed_columns(df)
             df = drop_empty_columns(df)
             df = insert_period(df.withColumn("_fname", F.lit(os.path.basename(p))), "_fname").drop("_fname")
@@ -95,17 +137,49 @@ class ETLWorkflow:
                 continue  # P10 empty-table filter (main.py:141)
             raw[name] = df
 
-        # cluster by name distance, union each cluster (A2)
+        # cluster by (name distance AND >= match_cols shared columns) —
+        # both criteria of the reference's merge_by_similarity
+        # (main.py:162-168): name affinity alone must not union two
+        # same-named but differently-shaped tables.
+        def _shape_matches(a: DataFrame, b: DataFrame) -> bool:
+            shared = len(set(a.columns) & set(b.columns))
+            need = min(self.config.match_cols, len(a.columns), len(b.columns))
+            return shared >= need
+
         names = sorted(raw)
         used: set[str] = set()
         for n in names:
             if n in used:
                 continue
-            cluster = [m for m in names if m not in used and _edit_distance(n, m) <= self.config.name_distance]
+            cluster = [
+                m
+                for m in names
+                if m not in used
+                and _edit_distance(n, m) <= self.config.name_distance
+                and _shape_matches(raw[n], raw[m])
+            ]
             used.update(cluster)
-            df = union_similar_tables([raw[m] for m in cluster])
+            # pre-union type alignment + post-union re-inference: per-file
+            # inference drift must neither fail the union nor stick as
+            # stringly-typed columns (tools.py:108-109). Re-inference is
+            # scoped to the columns that actually drifted — intentionally
+            # string columns (e.g. periodo) keep their type.
+            members = [raw[m] for m in cluster]
+            from collections import defaultdict
+
+            tmap: dict[str, set] = defaultdict(set)
+            for mdf in members:
+                for fld in mdf.schema.fields:
+                    tmap[fld.name].add(fld.dataType.simpleString())
+            drifted = {c for c, ts in tmap.items() if len(ts) > 1}
+            df = union_similar_tables(align_schemas(members))
+            if drifted:
+                string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+                df = coerce_inferable_types(df, cols=sorted(drifted & string_cols))
             base = re.sub(r"_?\d+$", "", n) or n
-            self.tables[self.config.table_renames.get(base, base)] = df
+            self.tables[
+                map_table_name(base, self.config.table_renames, self.config.default_name)
+            ] = df
         return self
 
     # ---------- curate ----------
@@ -116,6 +190,8 @@ class ETLWorkflow:
             df = normalize_column_names(df, snake_case=self.config.snake_case)
             df = drop_columns(df, [c for c in self.config.columns_to_delete if c in df.columns])
             df = rename_columns(df, {k: v for k, v in self.config.columns_to_rename.items() if k in df.columns})
+            if self.config.clean_values:  # P9 (clean_db, main.py:267-274)
+                df = clean_string_values(df)
             out[name] = df
         self.tables = out
         return self

@@ -147,3 +147,109 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     deleted = lake.vacuum(keep_versions=1)
     assert lake.snapshot().count() == v2_rows  # latest unaffected
     assert all(d.startswith("data/commit-00000001") for d in deleted)
+
+
+def test_write_amplification_proportional_to_batch_keys(spark, tmp_path):
+    """VERDICT round 1 item 4: at two table sizes, a 1-key patch rewrites
+    ~one bucket's worth of rows — bytes written ∝ batch keys, not table
+    size."""
+    rewritten = {}
+    for size in (2_000, 8_000):
+        root = str(tmp_path / f"t{size}")
+        # volume-sized buckets: nb grows with the table so bucket size
+        # (the rewrite unit) stays ~target_rows_per_file at ANY table size
+        lake = LakeTable(spark, root, target_rows_per_file=128, max_rows_per_file=512)
+        ledger = BatchLedger(spark, root)
+        ev = change_events(spark, size, batch_size=size)
+        replay(lake, ledger, ev)
+        m1 = lake.manifest()
+        table_rows = sum(f["rows"] for f in m1.files)
+        n_buckets = m1.n_buckets
+
+        one = lake.snapshot().orderBy("repo", "path").limit(1).collect()[0]
+        patch = spark.createDataFrame(
+            [(one["repo"], one["path"], "d" * 40, 10_000_000, "upsert", one["lang"], "p!", "zp")],
+            "repo string, path string, commit string, seq long, op string, lang string, content string, batch_id string",
+        )
+        from pyorchdb_spark.ingest import apply_batch
+
+        apply_batch(lake, ledger, patch, "zp")
+        m2 = lake.manifest()
+        new_rows = sum(f["rows"] for f in m2.files if f["path"] not in {g["path"] for g in m1.files})
+        rewritten[size] = new_rows
+        # rewrote at most ~2 buckets' worth of the table
+        assert new_rows <= 2 * (table_rows // n_buckets + 1), (size, new_rows, table_rows)
+    # 4x the table must NOT mean 4x the rewrite: the rewrite unit is one
+    # bucket ≈ target_rows_per_file regardless of table size (skew slack 3x)
+    assert rewritten[8_000] <= 3 * max(rewritten[2_000], 64), rewritten
+
+
+def test_bucket_splitting_bounds_file_size(spark, tmp_path):
+    """Files exceeding max_rows_per_file split in-commit into two buckets
+    at generation 2*nb; pruning still works across generations."""
+    root = str(tmp_path / "split")
+    lake = LakeTable(spark, root, max_rows_per_file=300, target_rows_per_file=100)
+    ledger = BatchLedger(spark, root)
+    ev = change_events(spark, 2_000, batch_size=2_000)
+    replay(lake, ledger, ev, num_files=1)  # force everything into 1 bucket
+    m = lake.manifest()
+    assert all(f["rows"] <= 300 for f in m.files), [f["rows"] for f in m.files]
+    assert len(m.files) > 1
+    gens = {f["nb"] for f in m.files}
+    assert max(gens) > 1  # splits happened
+    assert m.n_buckets == max(gens)
+    # every (bucket, nb) is unique and rows are where pmod says they are
+    assert len({(f["nb"], f["bucket"]) for f in m.files}) == len(m.files)
+
+    # state intact vs oracle
+    exp = expected_final_state(prepare_events(ev).drop("content_sha256").toPandas())
+    assert _sig(lake.snapshot()) == state_signature(exp)
+
+    # a 1-key patch after splitting touches few files (cross-gen pruning)
+    one = lake.snapshot().orderBy("repo", "path").limit(1).collect()[0]
+    patch = spark.createDataFrame(
+        [(one["repo"], one["path"], "e" * 40, 20_000_000, "upsert", one["lang"], "q!", "zq")],
+        "repo string, path string, commit string, seq long, op string, lang string, content string, batch_id string",
+    )
+    from pyorchdb_spark.ingest import apply_batch
+
+    apply_batch(lake, ledger, patch, "zq")
+    m2 = lake.manifest()
+    carried = {f["path"] for f in m.files} & {f["path"] for f in m2.files}
+    assert len(carried) >= len(m.files) - 2
+
+
+def test_concurrent_publish_never_clobbers_and_loser_cleans_up(spark, tmp_path):
+    """ADVICE round 1: the losing writer must neither replace the winner's
+    manifest nor leave orphan data files behind."""
+    import pytest
+
+    from pyorchdb_spark.sources.lake import ConcurrentCommitError, Manifest
+
+    root = str(tmp_path / "race")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 500, batch_size=500)
+    replay(lake, ledger, ev, num_files=2)
+    winner = lake.manifest()
+
+    # losing attempt at the same version: data already written to its own
+    # unique dir, publish must fail atomically, orphans must be removable
+    loser_df = prepare_events(ev)
+    files = lake._write_bucketed(loser_df, winner.version, 2)
+    assert files and all(os.path.exists(os.path.join(root, f["path"])) for f in files)
+    stale = Manifest(
+        version=winner.version,
+        parent=winner.parent,
+        batch_id="loser",
+        schema_json=winner.schema_json,
+        files=files,
+        n_buckets=2,
+    )
+    with pytest.raises(ConcurrentCommitError):
+        lake._publish(stale)
+    lake._remove_orphans(files)
+    assert not any(os.path.exists(os.path.join(root, f["path"])) for f in files)
+    # winner untouched: manifest content and data files intact
+    again = lake.manifest()
+    assert again.batch_id == winner.batch_id and again.files == winner.files
+    assert all(os.path.exists(os.path.join(root, f["path"])) for f in winner.files)

@@ -66,3 +66,57 @@ def test_stream_micro_batches_split_by_files(spark, tmp_path):
     assert ledger.markers().count() >= 2
     exp = expected_final_state(prepare_events(ev).drop("content_sha256").toPandas())
     assert _sig(lake.snapshot()) == state_signature(exp)
+
+
+def test_out_of_order_upsert_across_stream_restarts(spark, tmp_path):
+    """VERDICT round 1 item 10: cross-micro-batch OUT-OF-ORDER events
+    around a kill/resume — a late low-seq upsert after a delete and a
+    late low-seq upsert after a newer upsert must both lose (LWW), even
+    when they arrive in a later stream incarnation."""
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    DDL = (
+        "repo string, path string, commit string, seq long, op string, "
+        "lang string, content string, batch_id string"
+    )
+
+    # phase 1: k1 upserted at seq 10, k2 deleted at seq 20
+    b0 = spark.createDataFrame(
+        [
+            ("r", "k1", "c1", 10, "upsert", "py", "v10", "b0"),
+            ("r", "k2", "c2", 5, "upsert", "py", "v5", "b0"),
+            ("r", "k2", "c3", 20, "delete", "py", None, "b0"),
+        ],
+        DDL,
+    )
+    b0.write.mode("append").partitionBy("batch_id").parquet(log_dir)
+    run_tail_to_completion(spark, log_dir, lake, ledger, ckpt, num_files=2)
+    assert {r["path"] for r in lake.snapshot().collect()} == {"k1"}
+
+    # phase 2 (restart, same checkpoint): LATE events with lower seqs
+    b1 = spark.createDataFrame(
+        [
+            ("r", "k1", "c4", 7, "upsert", "py", "stale", "b1"),   # loses to seq 10
+            ("r", "k2", "c5", 15, "upsert", "py", "zombie", "b1"), # loses to tombstone 20
+            ("r", "k3", "c6", 1, "upsert", "py", "new", "b1"),
+        ],
+        DDL,
+    )
+    b1.write.mode("append").partitionBy("batch_id").parquet(log_dir)
+    run_tail_to_completion(spark, log_dir, lake, ledger, ckpt, num_files=2)
+    state = {r["path"]: r["content"] for r in lake.snapshot().collect()}
+    assert state == {"k1": "v10", "k3": "new"}  # no stale write, no zombie k2
+
+    # phase 3: checkpoint DELETED (new stream identity) — the whole log is
+    # re-delivered under fresh epoch ids; namespaced markers mean the
+    # batches re-apply (not skip) and the LWW merge keeps state identical
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_tail_to_completion(spark, log_dir, lake, ledger, str(tmp_path / "ckpt2"), num_files=2)
+    state2 = {r["path"]: r["content"] for r in lake.snapshot().collect()}
+    assert state2 == state
+    # and the re-delivery actually ran (markers from both stream identities)
+    assert ledger.markers().count() >= 3

@@ -48,3 +48,96 @@ def test_build_curate_load_upload(spark, tmp_path):
     # idempotent: re-upload skips committed batch
     rows2 = wf.upload(str(tmp_path / "lake"), keys=["product_name", "periodo"])
     assert rows2 == rows
+
+
+def test_match_cols_blocks_shape_mismatch(spark, tmp_path):
+    """merge_by_similarity parity (main.py:162-168): close names but
+    disjoint columns must NOT be unioned."""
+    d = tmp_path / "raw2"
+    os.makedirs(d, exist_ok=True)
+    (d / "metrics_a.csv").write_text("x,y\n1,2\n")
+    (d / "metrics_b.csv").write_text("p,q\n3,4\n")  # same-ish name, alien shape
+    wf = ETLWorkflow(spark, WorkflowConfig(match_cols=2))
+    wf.build([str(d / "metrics_a.csv"), str(d / "metrics_b.csv")])
+    assert len(wf.tables) == 2  # kept apart
+
+
+def test_hierarchical_table_name_mapping():
+    from pyorchdb_spark.workflow import map_table_name
+
+    mapping = {
+        "sales": {"mx": "ventas_mx", "us": "sales_us", "None": "sales_other"},
+        "inventory": "stock",
+    }
+    assert map_table_name("sales_mx_2024", mapping) == "ventas_mx"
+    assert map_table_name("sales_us", mapping) == "sales_us"
+    # matched top key, no sub-key: default only when default_name
+    assert map_table_name("sales_eu", mapping) == "sales_eu"
+    assert map_table_name("sales_eu", mapping, default_name=True) == "sales_other"
+    assert map_table_name("inventory_q1", mapping) == "stock"
+    assert map_table_name("unrelated", mapping) == "unrelated"
+
+
+def test_xlsx_roundtrip_and_build(spark, tmp_path):
+    """S2 parity: the reference reads \\w+\\.(xlsx|csv); xlsx goes through
+    the stdlib OOXML reader + type re-inference."""
+    from pyorchdb_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "orders_2024.xlsx")
+    write_xlsx(p, ["Item", "Qty", "Price"], [("widget", 3, 1.5), ("gadget", 5, 2.25), ("naïl", None, 0.5)])
+    df = read_xlsx(spark, p)
+    assert df.columns == ["Item", "Qty", "Price"]
+    rows = {r["Item"]: r for r in df.collect()}
+    assert rows["widget"]["Qty"] == "3"  # raw reader: strings
+    assert rows["naïl"]["Qty"] is None
+
+    wf = ETLWorkflow(spark)
+    wf.build([p])
+    t = wf.tables["orders"]
+    schema = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    assert schema["Qty"] == "bigint" and schema["Price"] == "double"  # re-inferred
+    assert {r["periodo"] for r in t.select("periodo").collect()} == {"2024"}
+
+
+def test_union_type_drift_coerced(spark, tmp_path):
+    """VERDICT missing #6: per-file inference drift (int vs string) must
+    neither fail the union nor survive as a string column when every
+    value is numeric."""
+    d = tmp_path / "raw3"
+    os.makedirs(d, exist_ok=True)
+    (d / "log_a.csv").write_text("k,v\na,1\nb,2\n")
+    (d / "log_b.csv").write_text("k,v\nc, 3\nd,\n")  # ' 3' + blank -> string inference
+    wf = ETLWorkflow(spark)
+    wf.build([str(d / "log_a.csv"), str(d / "log_b.csv")])
+    t = wf.tables["log_a"] if "log_a" in wf.tables else next(iter(wf.tables.values()))
+    schema = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    # numeric drift widens numerically (int+double -> double); string drift
+    # re-infers — either way the union succeeds and v ends up numeric
+    assert schema["v"] in ("bigint", "double"), schema
+    vals = sorted(float(r["v"]) for r in t.collect() if r["v"] is not None)
+    assert vals == [1.0, 2.0, 3.0]
+
+    # string-vs-int drift: blank-only column in one file infers string
+    (d / "evt_a.csv").write_text("k,v\na,1\nb,2\n")
+    (d / "evt_b.csv").write_text("k,v\nc,x\nd,y\n")  # truly non-numeric
+    wf2 = ETLWorkflow(spark)
+    wf2.build([str(d / "evt_a.csv"), str(d / "evt_b.csv")])
+    t2 = next(iter(wf2.tables.values()))
+    s2 = {f.name: f.dataType.simpleString() for f in t2.schema.fields}
+    assert s2["v"] == "string"  # mixed alpha/num stays string, union intact
+    assert t2.count() == 4
+
+
+def test_clean_string_values(spark):
+    """P9 parity (clean_db -> LightCleaner): accents folded, case and
+    whitespace normalized, non-string columns untouched."""
+    from pyorchdb_spark.operators.curate import clean_string_values
+
+    df = spark.createDataFrame(
+        [(1, "  Café  CON   Leche ", 2.5), (2, "ÑANDÚ\tveloz", 1.0)],
+        "id long, s string, x double",
+    )
+    out = {r["id"]: r for r in clean_string_values(df).collect()}
+    assert out[1]["s"] == "cafe con leche"
+    assert out[2]["s"] == "nandu veloz"
+    assert out[1]["x"] == 2.5
