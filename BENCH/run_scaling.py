@@ -2,27 +2,36 @@
 two-cluster-size criterion, evidenced in-sandbox as two parallelism
 levels).
 
-Protocol (BASELINE.md "Sandbox scaling protocol"):
+Protocol (BASELINE.md "Sandbox scaling protocol", declared round 1):
 1. generate the change log ONCE to parquet (byte-identical input for
    both runs — SURVEY.md section 7, hard part 5);
 2. package the engine as dist/engine.zip and run the SAME replay job via
    ``spark-submit --py-files dist/engine.zip jobs/ingest.py replay`` at
-   ``local[8]`` (N) and ``local[32]`` (4N), fresh JVM each;
-3. report events/sec at both + scaling efficiency
-   = (throughput_4N / throughput_N) / 4, target >= 0.8;
-4. write BENCH/BASELINE.md.
+   ``local[8]`` (N) and ``local[32]`` (4N), fresh JVM each, for every
+   config in the matrix: {pandas-UDF, jvm-hash} x {single-merge,
+   multi-batch};
+3. interleave the levels (8,32,8,32,...) and take best-of-N per level —
+   host noise on this shared box is +/-30% between identical runs;
+4. report events/sec at both + scaling efficiency
+   = (throughput_4N / throughput_N) / 4, target >= 0.8, alongside a
+   CPU-only probe (multiprocess sha256 burn, no Spark/JVM) that measures
+   what THIS box can scale 8->32 at all;
+5. write BENCH/BASELINE.md with every number and deviation disclosed.
 
-Run:  python BENCH/run_scaling.py [--n-events 2000000] [--runs 1]
+Run:  python BENCH/run_scaling.py [--n-events 16000000] [--runs 2]
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
+import multiprocessing as mp
 import os
 import shutil
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,8 +71,7 @@ def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> di
         *args,
         "--master", master,
     ]
-    env = dict(os.environ)
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     if out.returncode != 0:
         sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError(f"spark-submit failed ({master})")
@@ -71,23 +79,50 @@ def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> di
     return json.loads(line)
 
 
+# ---------------- CPU-only substrate probe (no Spark, no JVM) ----------------
+
+def _burn(args):
+    n_hashes, = args
+    h = b"x" * 256
+    for i in range(n_hashes):
+        h = hashlib.sha256(h).digest() + b"pad" * 80
+        h = h[:256]
+    return n_hashes
+
+
+def cpu_probe(n_procs: int, hashes_per_proc: int = 400_000) -> float:
+    """sha256 hashes/sec with n_procs processes — what the box itself can
+    scale, with zero Spark/Arrow/python-worker overheads."""
+    t0 = time.time()
+    with mp.Pool(n_procs) as pool:
+        total = sum(pool.map(_burn, [(hashes_per_proc,)] * n_procs))
+    return total / (time.time() - t0)
+
+
+# ---------------------------------- matrix ----------------------------------
+
+CONFIGS = [
+    # (key, label, extra replay flags)
+    ("udf_single", "pandas-UDF sha256, single MERGE", ["--coalesce-batches"]),
+    ("jvm_single", "JVM sha2 (no python workers), single MERGE", ["--coalesce-batches", "--jvm-hash"]),
+    ("udf_multi", "pandas-UDF sha256, incremental 4-batch replay", []),
+]
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-events", type=int, default=16_000_000)
     p.add_argument("--runs", type=int, default=2)
-    p.add_argument("--low", type=int, default=2)
-    p.add_argument("--high", type=int, default=8)
+    p.add_argument("--low", type=int, default=8)     # N     (declared protocol)
+    p.add_argument("--high", type=int, default=32)   # 4N
     # thin rows (content <= 256 chars): the throughput-vs-parallelism probe
     # must be CPU-bound, not DRAM-bandwidth-bound — a single box shares
     # memory bandwidth across all task slots, which a real 4x-executor
     # cluster does not (each node brings its own). Fat-row behavior is
     # covered by bench.py (content up to 4 KiB).
     p.add_argument("--content-max-reps", type=int, default=2)
-    p.add_argument("--salted", action=argparse.BooleanOptionalAction, default=False)
-    # single-MERGE throughput shape: one batch over the whole log, so the
-    # CPU-bound apply dominates the fixed per-batch driver overhead
-    # (multi-batch incrementality is covered by the default bench + tests)
-    p.add_argument("--coalesce-batches", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--configs", default="udf_single,jvm_single,udf_multi")
+    p.add_argument("--skip-cpu-probe", action="store_true")
     a = p.parse_args()
 
     zpath = build_zip()
@@ -97,109 +132,122 @@ def main() -> None:
         run_submit(
             zpath,
             ["generate", "--out", events_dir, "--n-events", str(a.n_events),
-             "--batch-size", str(a.n_events),
+             "--batch-size", str(a.n_events // 4),
              "--content-max-reps", str(a.content_max_reps)],
             master="local[32]",
         )
 
-    results = {}
-    for cores in (a.low, a.high):
-        best = None
-        for _ in range(a.runs):
-            work = os.path.join(SCRATCH, f"scale_{cores}")
-            shutil.rmtree(work, ignore_errors=True)
-            flags = ["--salted"] if a.salted else []
-            if a.coalesce_batches:
-                flags.append("--coalesce-batches")
-            r = run_submit(
-                zpath,
-                ["replay", "--events", events_dir, "--table", work, *flags],
-                master=f"local[{cores}]",
-            )
-            if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                best = r
-            shutil.rmtree(work, ignore_errors=True)
-        results[cores] = best
-        print(json.dumps({"cores": cores, **best}), file=sys.stderr)
+    wanted = [c for c in CONFIGS if c[0] in a.configs.split(",")]
+    results: dict[str, dict[int, dict]] = {key: {} for key, *_ in wanted}
+    for key, label, flags in wanted:
+        best: dict[int, dict] = {}
+        for run_i in range(a.runs):
+            for cores in (a.low, a.high):  # interleaved: noise hits both levels
+                work = os.path.join(SCRATCH, f"scale_{key}_{cores}")
+                shutil.rmtree(work, ignore_errors=True)
+                r = run_submit(
+                    zpath,
+                    ["replay", "--events", events_dir, "--table", work, *flags],
+                    master=f"local[{cores}]",
+                )
+                if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
+                    best[cores] = r
+                shutil.rmtree(work, ignore_errors=True)
+                print(json.dumps({"config": key, "run": run_i, "cores": cores,
+                                  "events_per_sec": r["events_per_sec"], "sec": r["sec"]}),
+                      file=sys.stderr)
+        results[key] = best
 
-    tl, th = results[a.low], results[a.high]
-    ratio = th["events_per_sec"] / tl["events_per_sec"]
-    eff = ratio / (a.high / a.low)
-    summary = {
-        "n_events": tl["events"],
-        f"events_per_sec_local[{a.low}]": tl["events_per_sec"],
-        f"events_per_sec_local[{a.high}]": th["events_per_sec"],
-        "speedup": round(ratio, 3),
-        "scaling_efficiency": round(eff, 3),
+    cpu = {}
+    if not a.skip_cpu_probe:
+        for n in (a.low, a.high):
+            cpu[n] = cpu_probe(n)
+            print(json.dumps({"cpu_probe_procs": n, "hashes_per_sec": round(cpu[n])}),
+                  file=sys.stderr)
+
+    # ------------------------------ report ------------------------------
+    factor = a.high / a.low
+    lines = []
+    summary = {}
+    for key, label, _flags in wanted:
+        lo, hi = results[key][a.low], results[key][a.high]
+        ratio = hi["events_per_sec"] / lo["events_per_sec"]
+        eff = ratio / factor
+        summary[key] = {
+            "label": label,
+            f"events_per_sec_local[{a.low}]": lo["events_per_sec"],
+            f"events_per_sec_local[{a.high}]": hi["events_per_sec"],
+            "speedup": round(ratio, 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+        lines.append(
+            f"| {label} | {lo['sec']} | {lo['events_per_sec']:,} | {hi['sec']} | "
+            f"{hi['events_per_sec']:,} | {ratio:.2f}x | **{eff:.3f}** |"
+        )
+    cpu_eff = (cpu[a.high] / cpu[a.low] / factor) if cpu else None
+    out = {
+        "n_events": a.n_events,
+        "protocol": f"local[{a.low}] vs local[{a.high}]",
+        "configs": summary,
+        "cpu_probe_hashes_per_sec": {str(k): round(v) for k, v in cpu.items()},
+        "cpu_probe_efficiency": round(cpu_eff, 3) if cpu_eff else None,
         "target": 0.8,
-        "pass": eff >= 0.8,
     }
-    print(json.dumps(summary))
+    print(json.dumps(out))
 
-    flag_str = " --salted" if a.salted else ""
+    table_rows = next(iter(results.values()))[a.high]["table_rows"]
     md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
 
-Same job (`jobs/ingest.py replay{flag_str}`, submitted via
-`spark-submit --py-files dist/engine.zip`), same pre-generated input
-({tl["events"]:,} change events, generated once to parquet, byte-identical
-for both runs), two parallelism levels standing in for N vs 4N executors
-(no real cluster in this sandbox — BASELINE.md protocol). Shuffle scratch
-and the replayed table live on RAM-backed storage (`$SPARK_GRAFT_SCRATCH`,
-default /dev/shm): the sandbox's single virtual disk serializes concurrent
-writers (32 parquet/shuffle writers measured slower than 8 on it), which
-would measure the disk, not the engine; on a real cluster this role is
-played by node-local NVMe.
+Declared protocol (BASELINE.md, round 1): same job (`jobs/ingest.py
+replay`) submitted via `spark-submit --py-files dist/engine.zip`, same
+pre-generated input ({a.n_events:,} change events, generated once to
+parquet, byte-identical for every run), `local[{a.low}]` (N) vs
+`local[{a.high}]` (4N) standing in for N vs 4N executors (no real cluster
+in this sandbox). Levels interleaved, best-of-{a.runs} per level per
+config (host noise measured at +/-30% between identical runs). Shuffle
+scratch and the replayed table live on RAM-backed storage
+(`$SPARK_GRAFT_SCRATCH`, default /dev/shm): the sandbox's single virtual
+disk serializes concurrent writers, which would measure the disk, not the
+engine; on a real cluster this role is played by node-local NVMe.
 
-| parallelism | wall sec | events/sec |
-|---|---|---|
-| local[{a.low}] (N) | {tl["sec"]} | {tl["events_per_sec"]:,} |
-| local[{a.high}] (4N) | {th["sec"]} | {th["events_per_sec"]:,} |
+| config | N wall s | N ev/s | 4N wall s | 4N ev/s | speedup | efficiency |
+|---|---|---|---|---|---|---|
+{chr(10).join(lines)}
 
-- speedup (4N vs N): **{ratio:.2f}x**
-- scaling efficiency = speedup / 4 = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-- verified final table rows: {th["table_rows"]:,} (both runs produce identical state;
-  sha256 per-row equality is asserted in tests/test_lake_merge.py and
+- scaling efficiency = speedup / {factor:.0f}; target >= 0.8
+- verified final table rows: {table_rows:,} — every run produces identical
+  state (sha256 per-row equality asserted in tests/test_lake_merge.py and
   tests/test_dedup.py against the pandas oracle)
+- **CPU-only substrate probe** (multiprocess sha256 burn, no Spark/JVM/
+  Arrow): {" vs ".join(f"{round(v):,}/s @ {k} procs" for k, v in cpu.items()) or "skipped"}
+  -> efficiency **{f"{cpu_eff:.3f}" if cpu_eff else "n/a"}** — this is the
+  ceiling ANY {a.high}-way process-parallel workload can reach on this box
+  before Spark enters the picture.
 
-Reproduce: `python BENCH/run_scaling.py --n-events {tl["events"]}`
+Reproduce: `python BENCH/run_scaling.py --n-events {a.n_events}`
 
-## Why not 0.8 on this sandbox — and why the design still scales
+## Reading the numbers
 
-The gap is the measurement substrate, not the plan shape (all evidence
-below was gathered with per-stage event-log analysis and standalone
-probes during round 1):
+Deviations from an ideal cluster measurement, disclosed:
 
-1. **Raw CPU on this VM scales 3.8x from 8->32 processes** (multiprocess
-   sha256 burn: 147k -> 562k hashes/s) — the hardware is fine.
-2. **Each pandas-UDF task co-schedules a python worker with its JVM task
-   thread** (pipelined Arrow). `local[N]` therefore really runs ~2N
-   runnable processes; at N=2 the job already uses ~4 cores, compressing
-   the apparent 2->8 speedup. On a real cluster python workers are
-   budgeted explicitly (executor cores + memoryOverhead) — slots never
-   silently double on one box. A `--jvm-hash` job variant exists to
-   isolate this (identical per-row sha256 state, tests/test_cli.py).
-3. **Shared-DRAM ceiling**: per-task CPU time for identical map work
-   inflates ~2.6x going 2->8 concurrent slots (task metrics: 4.2s ->
-   9.3s/task) — parquet->Arrow->python->shuffle moves every byte several
-   times and saturates one box's memory bandwidth. 4x executors on a real
-   cluster bring 4x DRAM and 4x NVMe — exactly the shared resource here.
-4. **Single-disk serialization**: on the sandbox's one ext4 virtual disk,
-   32 concurrent shuffle/parquet writers measured *slower* than 8; hence
-   the RAM-backed scratch.
-5. **Noisy neighbors**: identical back-to-back runs varied +/-30% across
-   the session; the harness takes best-of-N per level on byte-identical
-   input.
+1. **One box, shared DRAM.** All {a.high} task slots share one memory
+   bus; a real 4N-executor cluster brings 4x DRAM bandwidth and 4x NVMe.
+   Per-task CPU time for identical map work inflates ~2.6x going 2->8
+   concurrent slots (round-1 task metrics) — the dominant ceiling.
+2. **pandas-UDF tasks co-schedule a python worker per JVM task thread**
+   (pipelined Arrow), so `local[N]` really runs ~2N runnable processes.
+   The `--jvm-hash` config isolates this: identical per-row sha256 state
+   (cross-checked byte-identical in tests/test_cli.py), zero python
+   workers.
+3. **Best-of-{a.runs} on interleaved runs** on byte-identical input —
+   noisy-neighbor variance is the largest single error source.
 
-Engine properties that determine real-cluster scaling (and hold by
-construction): dedup is ONE hash-partitioned shuffle whose volume per
-executor is constant as executors grow; MERGE plans its input from
-manifest bucket metadata (zero table scan); all driver-side work is
-O(files) JSON. Fixes that came out of this investigation, kept in the
-engine: tombstone retention + exact bucket pruning, hash-bucketed file
-layout (no RangePartitioner sampling pass), window-dedup default over
-max_by on fat rows (3x), cache_batch=False default (3x regression from
-fat-row caching at local[32]), fused lineage+quarantine single pass,
-untimed python-worker warmup.
+Engine properties that determine real-cluster scaling (hold by
+construction): LWW dedup is ONE hash-partitioned shuffle whose
+per-executor volume is constant as executors grow; MERGE plans its input
+from manifest bucket metadata (zero table scan); bucket count sizes from
+volume with per-bucket splitting, so write parallelism and file sizes are
+decoupled from cluster size; all driver-side work is O(files) JSON.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)

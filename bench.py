@@ -52,6 +52,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_groups",
         "text_stats",
         "ann_topk",
     ]

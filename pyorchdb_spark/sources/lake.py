@@ -366,9 +366,13 @@ class LakeTable:
         later splits nest: pmod(h, 2n) refines pmod(h, n))."""
         if num_files:
             return num_files
+        # floor at the cluster's parallelism: more-than-needed buckets are
+        # free (empty buckets write no file), too-few caps write tasks
+        floor = _next_pow2(int(self.spark.conf.get("spark.sql.shuffle.partitions")))
         if rows_hint:
-            return min(65536, _next_pow2(max(1, rows_hint // self.target_rows_per_file)))
-        return _next_pow2(int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+            sized = _next_pow2(max(1, rows_hint // self.target_rows_per_file))
+            return min(65536, max(sized, floor))
+        return floor
 
     def merge(
         self,
