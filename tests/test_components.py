@@ -84,3 +84,38 @@ def test_end_to_end_fuzzy_dedup_on_documents(spark, sf_dir):
     got_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
     exp_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
     assert got_ids == exp_ids
+
+
+def test_components_match_union_find_property(spark):
+    """Property test: random small graphs vs a pure-python union-find."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=1, max_size=30))
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        pairs = _pairs(spark, edges)
+        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == expected
+
+    check()
