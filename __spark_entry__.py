@@ -209,6 +209,49 @@ def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# event-time windows / sessions / JSON (operators/timeseries.py,
+# streaming/stateful.py holds the streaming twins — parity in
+# tests/test_stateful_streaming.py)
+# --------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type (F.window)."""
+    from pyorchdb_spark.operators.timeseries import windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_agg(ev, "ts", "1 day", keys=("event_type",))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (2-day length, 1-day slide): each event lands in
+    exactly 2 windows — Catalyst expands this as a generator, so shuffle
+    volume grows by exactly the windows-per-event factor."""
+    from pyorchdb_spark.operators.timeseries import windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_agg(ev, "ts", "2 days", slide="1 day")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (strictly-greater-than-gap splits): one shuffle
+    on user_id + two window functions; oracle = SQL gaps-and-islands."""
+    from pyorchdb_spark.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "ts", gap="1 day", keys=("user_id",))
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object, JVM-side) + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
 # analytics (bench headliners; joins/agg with broadcast + pushdown)
 # --------------------------------------------------------------------------
 
@@ -432,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_directories": q_distinct_directories,
         "union_evolution": q_union_evolution,
         "topk_users": q_topk_users,
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "sessionize": q_sessionize,
+        "json_props": q_json_props,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -546,6 +593,51 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, count(*) AS n_events
               FROM events GROUP BY user_id
             ) ORDER BY n_events DESC, user_id ASC LIMIT 10
+        """,
+        "events_windowed": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       - x * INTERVAL 1 DAY AS window_start, value
+              FROM events, (VALUES (0), (1)) t(x)
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 2 DAY AS window_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM w GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts > lag(ts) OVER w + INTERVAL 1 DAY
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+              ) AS sess FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

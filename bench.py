@@ -55,6 +55,8 @@ def main() -> None:
         "dedup_groups",
         "text_stats",
         "ann_topk",
+        "events_windowed",
+        "sessionize",
     ]
 
     timings: dict[str, float] = {}

@@ -1,0 +1,219 @@
+"""Structured Streaming stateful operators: watermarked windowed
+aggregation and ``applyInPandasWithState`` gap sessions.
+
+These are the streaming halves of ``operators/timeseries.py`` — the
+batch and stream variants share one semantics (strictly-greater-than-gap
+starts a new session; tumbling windows are epoch-aligned) and
+``tests/test_stateful_streaming.py`` asserts they produce identical
+results on the same input.
+
+Scale notes (100 TB/day of events):
+- ``windowed_stream`` keeps one state row per open ``(window, *keys)``
+  group per partition; the watermark bounds how long a window stays open,
+  so state is O(keys x windows-in-flight), independent of event volume.
+  Late rows older than the watermark are dropped by the state store, not
+  by user code.
+- ``sessionize_stream`` shuffles each micro-batch once on the session
+  keys; per-group state is a single 4-field tuple (the open session), and
+  the per-batch work is vectorized pandas (diff/cumsum segmentation), not
+  a per-row Python loop.  Session timestamps ride as int64 epoch-micros so
+  stream/batch parity is exact, not float-rounded.
+- Cross-batch ordering: a session extends across micro-batches in event
+  order (the file/Kafka source replays in offset order).  Out-of-order
+  WITHIN a batch is sorted; an event older than the open session's end
+  still joins it (closed-interval merge) but cannot reopen a session
+  already closed by gap — for that, feed the log through the LWW merge
+  path (``ingest.replay``) whose tombstone handling is order-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+US_PER_SECOND = 1_000_000
+
+
+def windowed_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming DataFrame.
+
+    Append/update sinks both work: the watermark lets the state store
+    finalize (append) or evict (update) windows older than
+    ``max(event time) - watermark``; rows arriving later than that are
+    dropped — the late-data contract the batch oracle can't express.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _session_output_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        key_fields
+        + [
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("closed", BooleanType()),
+        ]
+    )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("tot", DoubleType()),
+    ]
+)
+
+
+def _segment(pdf: pd.DataFrame, ts_col: str, value_col: str, gap_us: int) -> pd.DataFrame:
+    """Vectorized gaps-and-islands over one micro-batch slice of a group:
+    sort, split where the gap is strictly greater than ``gap_us``, and
+    aggregate each segment to (start_us, end_us, n, tot)."""
+    d = pdf.sort_values(ts_col, kind="mergesort")
+    t = d[ts_col].astype("int64") // 1000  # ns -> us
+    seg = (t.diff() > gap_us).cumsum()
+    vals = pd.to_numeric(d[value_col], errors="coerce").fillna(0.0)
+    out = pd.DataFrame({"t": t.to_numpy(), "v": vals.to_numpy(), "seg": seg.to_numpy()})
+    g = out.groupby("seg", sort=True).agg(
+        start_us=("t", "min"), end_us=("t", "max"), n=("t", "size"), tot=("v", "sum")
+    )
+    return g.reset_index(drop=True)
+
+
+def make_session_fn(
+    gap: str,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Build the applyInPandasWithState function for gap sessions.
+
+    Emits every session CLOSED by this batch (``closed=True``, terminal)
+    plus a snapshot of the still-open session (``closed=False``); with an
+    update-mode sink, last-snapshot-per-(key, session_start) is the final
+    sessions table, byte-equal to batch ``timeseries.sessionize``.
+    """
+    qty, unit = gap.split()
+    unit_us = {
+        "second": US_PER_SECOND,
+        "seconds": US_PER_SECOND,
+        "minute": 60 * US_PER_SECOND,
+        "minutes": 60 * US_PER_SECOND,
+        "hour": 3600 * US_PER_SECOND,
+        "hours": 3600 * US_PER_SECOND,
+        "day": 86400 * US_PER_SECOND,
+        "days": 86400 * US_PER_SECOND,
+    }[unit]
+    gap_us = int(qty) * unit_us
+
+    def fn(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: Any):
+        if state.exists:
+            cur_start, cur_end, cur_n, cur_tot = state.get
+        else:
+            cur_start = None
+            cur_end = cur_n = 0
+            cur_tot = 0.0
+
+        closed: list[tuple[int, int, int, float]] = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            segs = _segment(pdf, ts_col, value_col, gap_us)
+            for start_us, end_us, n, tot in segs.itertuples(index=False, name=None):
+                if cur_start is None:
+                    cur_start, cur_end, cur_n, cur_tot = int(start_us), int(end_us), int(n), float(tot)
+                elif int(start_us) - cur_end > gap_us:
+                    closed.append((cur_start, cur_end, cur_n, cur_tot))
+                    cur_start, cur_end, cur_n, cur_tot = int(start_us), int(end_us), int(n), float(tot)
+                else:
+                    # closed-interval merge; an in-gap but out-of-order
+                    # segment can extend start backwards within the batch
+                    cur_start = min(cur_start, int(start_us))
+                    cur_end = max(cur_end, int(end_us))
+                    cur_n += int(n)
+                    cur_tot += float(tot)
+
+        if cur_start is None:
+            return
+        state.update((cur_start, cur_end, cur_n, cur_tot))
+        rows = [(*c, True) for c in closed] + [(cur_start, cur_end, cur_n, cur_tot, False)]
+        out = pd.DataFrame(
+            rows, columns=["start_us", "end_us", "n_events", "total_value", "closed"]
+        )
+        for i, (name, k) in enumerate(zip(keys, key)):
+            out.insert(i, name, k)
+        out["session_start"] = pd.to_datetime(out.pop("start_us"), unit="us")
+        out["session_end"] = pd.to_datetime(out.pop("end_us"), unit="us")
+        yield out[
+            list(keys) + ["session_start", "session_end", "n_events", "total_value", "closed"]
+        ]
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap sessions over a streaming DataFrame via applyInPandasWithState.
+
+    Use with ``outputMode("update")``; dedupe downstream by
+    (keys, session_start) keeping the max-``n_events`` row (closed rows
+    are terminal, open snapshots monotonically grow).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = _session_output_schema(
+        [StructField(k, f.dataType) for k, f in zip(keys, key_fields)]
+    )
+    fn = make_session_fn(gap, keys=keys, ts_col=ts_col, value_col=value_col)
+    return (
+        events.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

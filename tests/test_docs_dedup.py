@@ -104,19 +104,28 @@ def test_minhash_candidate_exchange_is_signature_only(spark):
     assert cand.columns == ["id_a", "id_b"]
 
 
-def test_ngram_jaccard_salt_invariance_and_size_banding(spark):
-    """The shuffled (block, size-band, salt) join is lossless: results are
-    identical across salt counts, and a pair at the exact size-ratio
-    boundary (|A|=4, |B|=8, J=0.5) is still found in adjacent bands."""
-    base = {
+def test_ngram_jaccard_paths_agree_and_size_banding(spark):
+    """The broadcast (small, count-gated) and shuffled (scale) physical
+    strategies must return identical pairs; the shuffled join is lossless
+    across salt counts; and a pair at the exact size-ratio boundary
+    (|A|=4, |B|=8, J=0.5) is still found in adjacent bands."""
+    bcast = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None, n_salts=1).collect()
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None).collect()
     }
-    salted = {
+    shuffled1 = {
         (r["id_a"], r["id_b"])
-        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None, n_salts=5).collect()
+        for r in ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, n=1, block_col=None, n_salts=1, broadcast_max_docs=0
+        ).collect()
     }
-    assert base == salted
+    shuffled5 = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            _docs(spark), threshold=0.5, n=1, block_col=None, n_salts=5, broadcast_max_docs=0
+        ).collect()
+    }
+    assert bcast == shuffled1 == shuffled5
 
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d e f g h")], "doc_id long, text string"
@@ -126,12 +135,29 @@ def test_ngram_jaccard_salt_invariance_and_size_banding(spark):
     assert abs(got[0]["jaccard"] - 0.5) < 1e-9
 
 
-def test_ngram_jaccard_no_broadcast_hint(spark):
-    """The plan must not carry a user broadcast hint on an unbounded side
-    (statistics-driven broadcast by Catalyst/AQE remains allowed)."""
-    ng = ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None)
+def test_ngram_jaccard_scale_path_shape(spark):
+    """Above the broadcast bound: no broadcast hint anywhere, and the
+    banded exchange carries thin rows only (no gram arrays)."""
+    ng = ngram_jaccard_pairs(
+        _docs(spark), threshold=0.5, n=1, block_col=None, broadcast_max_docs=0
+    )
     logical = ng._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    # the candidate join subtree must not move gram arrays: grams may
+    # appear only in the verify joins (joined back by id), never together
+    # with the salt column of the banded exchange
+    plan = ng._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "salt" in line:
+            assert "grams" not in line
+
+
+def test_ngram_jaccard_small_path_is_bounded_broadcast(spark):
+    """Under the bound the plan IS a broadcast join (that's the point),
+    and the gate is the explicit row-count bound."""
+    ng = ngram_jaccard_pairs(_docs(spark), threshold=0.5, n=1, block_col=None)
+    plan = ng._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_simhash_large_hamming_complete(spark):

@@ -1,0 +1,174 @@
+"""Streaming stateful operators vs their batch twins.
+
+- sessionize_stream (applyInPandasWithState) must equal batch
+  timeseries.sessionize on the same input delivered over several
+  micro-batches with state carried across batch (and session) boundaries;
+- windowed_stream must drop events older than the watermark — the
+  late-data contract — and keep them when the watermark allows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.operators.timeseries import sessionize
+from pyorchdb_spark.streaming.stateful import sessionize_stream, windowed_stream
+
+TS = dt.datetime
+EVENT_DDL = "user_id long, ts timestamp, value double"
+
+
+def _write_file(path: str, rows: list[tuple], mtime: int) -> None:
+    """One parquet file per micro-batch, mtime pinned so the file stream
+    source replays them in a deterministic order."""
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _run_stream(spark, df_stream, ckpt: str):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The real events table, split into 4 time-ordered micro-batch files:
+    final streamed sessions == batch sessionize, including sessions that
+    span micro-batch boundaries."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "value")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    quarter = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : (i + 1) * quarter]
+        _write_file(
+            str(log_dir / f"b{i}.parquet"),
+            list(chunk.itertuples(index=False, name=None)),
+            mtime=1_700_000_000 + i * 100,
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir))
+    )
+    sess = sessionize_stream(stream, gap="1 day", keys=("user_id",))
+    mem = _run_stream(spark, sess, str(tmp_path / "ckpt"))
+
+    # update-mode sink: last snapshot per (user_id, session_start) wins
+    # (open snapshots only grow; closed rows are terminal)
+    final = (
+        mem.groupBy("user_id", "session_start")
+        .agg(
+            F.max_by("session_end", "n_events").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in final.collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(float(r["total_value"]), 6))
+        for r in sessionize(
+            ev,
+            "ts",
+            gap="1 day",
+            keys=("user_id",),
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            ],
+        ).collect()
+    }
+    assert got == exp
+    # sessions genuinely crossed micro-batch boundaries (state was carried):
+    # at least one (user, session_start) appears in more than one snapshot
+    multi = mem.groupBy("user_id", "session_start").count().filter("count > 1").count()
+    assert multi > 0
+
+
+def _late_data_counts(spark, tmp_path, watermark: str) -> dict:
+    """4 time-pinned micro-batch files; the late 10:45 row arrives two
+    batches after the 12:05 event that advanced the watermark (Spark
+    applies the watermark computed from batch N's data starting at batch
+    N+2: it is persisted at N's commit and read back at N+1's planning,
+    so the first batch it filters is N+2 — empirically verified)."""
+    tag = watermark.replace(" ", "_")
+    log_dir = tmp_path / f"log_{tag}"
+    log_dir.mkdir()
+    batches = [
+        [
+            (1, TS(2024, 1, 1, 10, 0, 0), 1.0),
+            (1, TS(2024, 1, 1, 10, 30, 0), 1.0),
+            (1, TS(2024, 1, 1, 12, 5, 0), 1.0),  # advances the watermark
+        ],
+        [(1, TS(2024, 1, 1, 12, 10, 0), 1.0)],  # propagation batch
+        [
+            (1, TS(2024, 1, 1, 10, 45, 0), 1.0),  # LATE for the 10:00 window
+            (1, TS(2024, 1, 1, 12, 15, 0), 1.0),
+        ],
+        [(1, TS(2024, 1, 2, 9, 0, 0), 1.0)],  # far future: flush everything
+    ]
+    for i, rows in enumerate(batches):
+        _write_file(str(log_dir / f"b{i}.parquet"), rows, mtime=1_700_000_000 + i * 100)
+    stream = (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir))
+    )
+    win = windowed_stream(stream, ts_col="ts", duration="1 hour", watermark=watermark)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append: only watermark-finalized windows
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    return {r["window_start"]: r["n_events"] for r in rows}
+
+
+def test_windowed_stream_drops_late_beyond_watermark(spark, tmp_path):
+    """With a 1-hour watermark the 10:00 window (end 11:00) is already
+    below the 11:05 watermark when the 10:45 straggler arrives — the row
+    is dropped and the finalized window holds 2 events."""
+    counts = _late_data_counts(spark, tmp_path, watermark="1 hour")
+    assert counts[TS(2024, 1, 1, 10, 0, 0)] == 2  # late event not counted
+    assert counts[TS(2024, 1, 1, 12, 0, 0)] == 3
+
+
+def test_windowed_stream_keeps_late_within_watermark(spark, tmp_path):
+    """A 3-hour watermark (9:05 < the 11:00 window end) keeps the window
+    open; the same straggler is absorbed before finalization."""
+    counts = _late_data_counts(spark, tmp_path, watermark="3 hours")
+    assert counts[TS(2024, 1, 1, 10, 0, 0)] == 3  # late event counted
+    assert counts[TS(2024, 1, 1, 12, 0, 0)] == 3
