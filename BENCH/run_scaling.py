@@ -92,11 +92,34 @@ def _burn(args):
 
 def cpu_probe(n_procs: int, hashes_per_proc: int = 400_000) -> float:
     """sha256 hashes/sec with n_procs processes — what the box itself can
-    scale, with zero Spark/Arrow/python-worker overheads."""
+    scale for CACHE-BOUND work, with zero Spark/Arrow/python-worker
+    overheads."""
     t0 = time.time()
     with mp.Pool(n_procs) as pool:
         total = sum(pool.map(_burn, [(hashes_per_proc,)] * n_procs))
     return total / (time.time() - t0)
+
+
+def _memburn(iters):
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024 // 8)  # 64 MiB working set >> LLC
+    b = np.empty_like(a)
+    for _ in range(iters):
+        np.copyto(b, a)
+    return iters
+
+
+def mem_probe(n_procs: int, iters: int = 30) -> float:
+    """Streaming memcpy GB/s with n_procs processes — what the box can
+    scale for MEMORY-BOUND work (shuffle/parquet/string processing is
+    this, not sha256). On this sandbox this probe ANTI-scales 8->32
+    (shared-host DRAM), which bounds any wide-shuffle Spark stage."""
+    t0 = time.time()
+    with mp.Pool(n_procs) as pool:
+        pool.map(_memburn, [iters] * n_procs)
+    gb = n_procs * iters * 64 * 2 / 1024  # read + write
+    return gb / (time.time() - t0)
 
 
 # ---------------------------------- matrix ----------------------------------
@@ -106,6 +129,14 @@ CONFIGS = [
     ("udf_single", "pandas-UDF sha256, single MERGE", ["--coalesce-batches"]),
     ("jvm_single", "JVM sha2 (no python workers), single MERGE", ["--coalesce-batches", "--jvm-hash"]),
     ("udf_multi", "pandas-UDF sha256, incremental 4-batch replay", []),
+    # Constant shuffle width at BOTH levels — the cluster-faithful shape:
+    # on a real cluster the shuffle layout is sized to the DATA and stays
+    # fixed while executors are added; deriving width from the core count
+    # (the default) conflates plan shape with slot count.
+    ("udf_fixed64", "pandas-UDF sha256, single MERGE, shuffle width fixed at 64",
+     ["--coalesce-batches", "--shuffle-partitions", "64"]),
+    ("jvm_fixed64", "JVM sha2, single MERGE, shuffle width fixed at 64",
+     ["--coalesce-batches", "--jvm-hash", "--shuffle-partitions", "64"]),
 ]
 
 
@@ -121,7 +152,7 @@ def main() -> None:
     # cluster does not (each node brings its own). Fat-row behavior is
     # covered by bench.py (content up to 4 KiB).
     p.add_argument("--content-max-reps", type=int, default=2)
-    p.add_argument("--configs", default="udf_single,jvm_single,udf_multi")
+    p.add_argument("--configs", default="udf_single,jvm_single,udf_multi,udf_fixed64,jvm_fixed64")
     p.add_argument("--skip-cpu-probe", action="store_true")
     a = p.parse_args()
 
@@ -158,11 +189,13 @@ def main() -> None:
                       file=sys.stderr)
         results[key] = best
 
-    cpu = {}
+    cpu, mem = {}, {}
     if not a.skip_cpu_probe:
         for n in (a.low, a.high):
             cpu[n] = cpu_probe(n)
-            print(json.dumps({"cpu_probe_procs": n, "hashes_per_sec": round(cpu[n])}),
+            mem[n] = mem_probe(n)
+            print(json.dumps({"probe_procs": n, "hashes_per_sec": round(cpu[n]),
+                              "memcpy_gb_per_sec": round(mem[n], 1)}),
                   file=sys.stderr)
 
     # ------------------------------ report ------------------------------
@@ -185,12 +218,15 @@ def main() -> None:
             f"{hi['events_per_sec']:,} | {ratio:.2f}x | **{eff:.3f}** |"
         )
     cpu_eff = (cpu[a.high] / cpu[a.low] / factor) if cpu else None
+    mem_eff = (mem[a.high] / mem[a.low] / factor) if mem else None
     out = {
         "n_events": a.n_events,
         "protocol": f"local[{a.low}] vs local[{a.high}]",
         "configs": summary,
         "cpu_probe_hashes_per_sec": {str(k): round(v) for k, v in cpu.items()},
         "cpu_probe_efficiency": round(cpu_eff, 3) if cpu_eff else None,
+        "mem_probe_gb_per_sec": {str(k): round(v, 1) for k, v in mem.items()},
+        "mem_probe_efficiency": round(mem_eff, 3) if mem_eff else None,
         "target": 0.8,
     }
     print(json.dumps(out))
@@ -218,11 +254,16 @@ engine; on a real cluster this role is played by node-local NVMe.
 - verified final table rows: {table_rows:,} — every run produces identical
   state (sha256 per-row equality asserted in tests/test_lake_merge.py and
   tests/test_dedup.py against the pandas oracle)
-- **CPU-only substrate probe** (multiprocess sha256 burn, no Spark/JVM/
+- **CPU substrate probe** (multiprocess sha256, cache-bound, no Spark/JVM/
   Arrow): {" vs ".join(f"{round(v):,}/s @ {k} procs" for k, v in cpu.items()) or "skipped"}
-  -> efficiency **{f"{cpu_eff:.3f}" if cpu_eff else "n/a"}** — this is the
-  ceiling ANY {a.high}-way process-parallel workload can reach on this box
-  before Spark enters the picture.
+  -> efficiency **{f"{cpu_eff:.3f}" if cpu_eff else "n/a"}** — the ceiling
+  for cache-bound {a.high}-way work on this box before Spark enters.
+- **Memory-bandwidth probe** (multiprocess 64 MiB memcpy, no Spark):
+  {" vs ".join(f"{v:.1f} GB/s @ {k} procs" for k, v in mem.items()) or "skipped"}
+  -> efficiency **{f"{mem_eff:.3f}" if mem_eff else "n/a"}** — shuffle,
+  parquet decode, and string work are memory-bound, so THIS probe bounds
+  wide-shuffle stages; on a real 4x cluster each node brings its own DRAM
+  and this ceiling lifts with the cluster.
 
 Reproduce: `python BENCH/run_scaling.py --n-events {a.n_events}`
 

@@ -241,6 +241,65 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "ts", gap="1 day", keys=("user_id",))
 
 
+def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every error event, the user's
+    latest click at-or-before it — union-sort formulation, ONE shuffle,
+    no pair blowup; oracle = DuckDB native ASOF LEFT JOIN."""
+    from pyorchdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(err, clk, by=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "user_id", "event_id", F.col("ts_right").alias("click_ts"), "click_value"
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (F.percentile, JVM-side).
+    Interpolation fractions are quarters and inputs are 2-decimal values,
+    so the true quartiles are exact 4-decimal decimals — round(4) makes
+    the double representation hash-stable against the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q75"),
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type categories to columns, one row per user (the
+    explicit values list keeps the plan single-pass — no distinct scan)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.round(F.sum("value"), 2))
+        .select(
+            "user_id",
+            F.col("click").alias("click_value"),
+            F.col("view").alias("view_value"),
+            F.col("purchase").alias("purchase_value"),
+            F.col("error").alias("error_value"),
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: (event_type, day) -> (event_type) -> grand total in
+    one pass (F.rollup); oracle = SQL GROUP BY ROLLUP."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    return ev.rollup("event_type", day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (get_json_object, JVM-side) + aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -479,6 +538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "asof_latest_click": q_asof_latest_click,
+        "value_quantiles": q_value_quantiles,
+        "events_pivot": q_events_pivot,
+        "events_rollup": q_events_rollup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -638,6 +701,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "asof_latest_click": """
+            SELECT e.user_id, e.event_id, c.ts AS click_ts, c.value AS click_value
+            FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS q25,
+                   round(quantile_cont(value, 0.50), 4) AS q50,
+                   round(quantile_cont(value, 0.75), 4) AS q75
+            FROM events GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   round(sum(value) FILTER (event_type = 'click'), 2) AS click_value,
+                   round(sum(value) FILTER (event_type = 'view'), 2) AS view_value,
+                   round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase_value,
+                   round(sum(value) FILTER (event_type = 'error'), 2) AS error_value
+            FROM events GROUP BY user_id
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

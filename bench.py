@@ -57,6 +57,8 @@ def main() -> None:
         "ann_topk",
         "events_windowed",
         "sessionize",
+        "asof_latest_click",
+        "events_rollup",
     ]
 
     timings: dict[str, float] = {}

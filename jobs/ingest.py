@@ -27,10 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
-def _spark(master: str | None) -> SparkSession:
+def _spark(master: str | None, shuffle_partitions: int | None = None) -> SparkSession:
     from pyorchdb_spark.session import build_session
 
-    return build_session(app_name="pyorchdb_spark_ingest", master=master)
+    return build_session(
+        app_name="pyorchdb_spark_ingest",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
 
 
 def cmd_generate(args) -> dict:
@@ -56,7 +60,7 @@ def cmd_replay(args) -> dict:
     from pyorchdb_spark.sources.lake import LakeTable
     from pyorchdb_spark.streaming.tail import run_tail_to_completion
 
-    spark = _spark(args.master)
+    spark = _spark(args.master, args.shuffle_partitions)
     events = spark.read.parquet(args.events)
     if args.coalesce_batches:
         # one logical batch: the throughput-measurement shape (single
@@ -122,6 +126,10 @@ def main(argv=None) -> None:
     r.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     r.add_argument("--jvm-hash", action="store_true",
                    help="use built-in sha2/regexp instead of pandas UDFs (scaling isolation)")
+    r.add_argument("--shuffle-partitions", type=int, default=None,
+                   help="hold shuffle width constant across parallelism levels "
+                        "(cluster-faithful scaling: same plan/layout, more slots; "
+                        "default derives width from the master's core count)")
     r.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
