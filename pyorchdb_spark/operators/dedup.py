@@ -26,6 +26,12 @@ Three equivalent implementations, chosen for scale behavior:
   The salt derives from ``seq`` (never from the key), so downstream MERGE
   join keys are untouched. Required by the north rule; benched A/B
   against max_by in bench.py.
+- ``lww_dedup_bucketed`` — the fused merge+write plan: shuffle once by
+  the STORAGE bucket (a function of the keys), sort in-partition by
+  (bucket, keys, order), pick each key-run's first row with a null-safe
+  lag comparison. Eliminates the separate per-key window exchange —
+  LakeTable.merge runs on this (1 full-row exchange vs 2, verified in
+  the physical plan).
 
 All three produce identical results for any input (verified
 property-style in tests/test_dedup.py).
@@ -77,6 +83,28 @@ def lww_dedup(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def lww_salt_prestage(
+    events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Stage 1 of salted LWW: winner per (key, salt) — a hot key leaves
+    this stage as at most ``n_salts`` rows. Lossless: the global winner
+    wins its own salt bucket. The salt derives from ``seq`` (never the
+    key), so downstream key-based partitioning is untouched."""
+    tiebreakers = [c for c in tiebreakers if c in events.columns]
+    salt = F.pmod(F.xxhash64(F.col(seq_col), F.lit("salt")), F.lit(n_salts))
+    w1 = Window.partitionBy(*list(keys), "_salt").orderBy(*_order_cols(seq_col, tiebreakers))
+    return (
+        events.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
+    )
+
+
 def lww_dedup_salted(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
@@ -90,19 +118,51 @@ def lww_dedup_salted(
     is also the winner of its own salt bucket, so it survives stage 1 and
     wins stage 2.
     """
+    pre = lww_salt_prestage(events, keys, seq_col, tiebreakers, n_salts)
+    return lww_dedup(pre, keys, seq_col, tiebreakers, strategy="window")
+
+
+def lww_dedup_bucketed(
+    events: DataFrame,
+    n_buckets: int,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """LWW winners, shuffled by STORAGE BUCKET instead of by key — the
+    fused merge+write plan (one full-row shuffle total).
+
+    The lake's bucket ``pmod(xxhash64(keys), n)`` is a function of the
+    keys, so every key's rows land in one bucket partition; an
+    in-partition sort by (bucket, keys asc, order desc) then makes each
+    key's winner exactly the first row of its key-run, selected with a
+    null-safe lag comparison (no per-key window shuffle). Output keeps
+    ``bucket_col`` and stays sorted by (bucket, keys) — precisely the
+    layout ``LakeTable._write_bucketed`` needs, so the write adds NO
+    further exchange. Versus window-LWW-then-bucketed-write this removes
+    one full-row hash shuffle — the dominant memory-bound cost of replay.
+
+    Equivalent to ``lww_dedup`` for any input (asserted in
+    tests/test_dedup.py): same total order per key, same winner.
+    """
+    from functools import reduce
+    from operator import or_
+
     tiebreakers = [c for c in tiebreakers if c in events.columns]
-    order = _order_cols(seq_col, tiebreakers)
-    salt = F.pmod(F.xxhash64(F.col(seq_col), F.lit("salt")), F.lit(n_salts))
-    w1 = Window.partitionBy(*list(keys), "_salt").orderBy(*order)
-    w2 = Window.partitionBy(*keys).orderBy(*order)
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    w = Window.partitionBy(bucket_col).orderBy(
+        *[F.col(k).asc() for k in keys], *_order_cols(seq_col, tiebreakers)
+    )
+    new_key = reduce(
+        or_, [~F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys]
+    )
     return (
-        events.withColumn("_salt", salt)
-        .withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_salt")
+        events.withColumn(bucket_col, bucket)
+        .repartition(n_buckets, F.col(bucket_col))
+        .withColumn("_win", new_key)
+        .filter(F.col("_win"))
+        .drop("_win")
     )
 
 

@@ -66,7 +66,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from pyorchdb_spark.operators.dedup import DEFAULT_KEYS
-from pyorchdb_spark.plans.merge import resolve_merge
 
 KEY_SEP = "\x00"
 
@@ -230,7 +229,9 @@ class LakeTable:
 
     # ---------- write path ----------
 
-    def _write_data_files(self, df: DataFrame, version: int, n_buckets: int) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False
+    ) -> list[dict]:
         """Write rows hash-bucketed by key, sorted by key within each file.
 
         One hash shuffle (no RangePartitioner sampling pass); the write is
@@ -239,11 +240,18 @@ class LakeTable:
         from parquet footers — O(files) driver-local metadata reads, no
         second pass over the data.
 
+        ``pre_bucketed``: the input already carries ``_bucket`` and is
+        bucket-partitioned + key-sorted (the fused merge plan,
+        operators/dedup.lww_dedup_bucketed) — the write adds NO exchange.
+
         Files exceeding ``max_rows_per_file`` are split in-commit: the
         oversized bucket is re-read (that file only) and rewritten as two
         buckets at generation 2*nb.
         """
-        out = self._write_bucketed(df, version, n_buckets)
+        out = self._write_bucketed(df, version, n_buckets, pre_bucketed=pre_bucketed)
+        # data-file schema: the _bucket partition column is encoded in dir
+        # names, never in file contents
+        data_schema = StructType([f for f in df.schema.fields if f.name != "_bucket"])
         # per-bucket splitting until every file is under the threshold
         while True:
             oversized = [f for f in out if f["rows"] > self.max_rows_per_file]
@@ -251,24 +259,25 @@ class LakeTable:
                 return sorted(out, key=lambda f: f["path"])
             for big in oversized:
                 out.remove(big)
-                part = self.spark.read.schema(df.schema).parquet(
+                part = self.spark.read.schema(data_schema).parquet(
                     os.path.join(self.root, big["path"])
                 )
                 out.extend(self._write_bucketed(part, version, big["nb"] * 2))
                 os.unlink(os.path.join(self.root, big["path"]))
 
-    def _write_bucketed(self, df: DataFrame, version: int, n_buckets: int) -> list[dict]:
+    def _write_bucketed(
+        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False
+    ) -> list[dict]:
         out_rel = f"data/commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, out_rel)
-        key = composite_key(self.keys)
-        (
-            df.withColumn("_bucket", bucket_expr(self.keys, n_buckets))
-            .repartition(n_buckets, F.col("_bucket"))
-            .sortWithinPartitions(key)
-            .write.partitionBy("_bucket")
-            .mode("error")
-            .parquet(out_dir)
-        )
+        if not pre_bucketed:
+            key = composite_key(self.keys)
+            df = (
+                df.withColumn("_bucket", bucket_expr(self.keys, n_buckets))
+                .repartition(n_buckets, F.col("_bucket"))
+                .sortWithinPartitions(key)
+            )
+        df.write.partitionBy("_bucket").mode("error").parquet(out_dir)
         import pyarrow.parquet as pq
 
         out = []
@@ -402,13 +411,7 @@ class LakeTable:
         state_schema = source_events.schema
 
         if m is None or not m.files:
-            merged = resolve_merge(
-                self.spark.createDataFrame([], state_schema),
-                source_events,
-                keys=self.keys,
-                salted=salted,
-                n_salts=n_salts,
-            )
+            target_rows = self.spark.createDataFrame([], state_schema)
             new_schema = state_schema if m is None else self._evolve_schema(m.schema(), state_schema)
             untouched: list[dict] = []
         else:
@@ -419,13 +422,22 @@ class LakeTable:
                 target_rows = self.spark.read.schema(m.schema()).parquet(*paths)
             else:
                 target_rows = self.spark.createDataFrame([], m.schema())
-            merged = resolve_merge(
-                target_rows, source_events, keys=self.keys, salted=salted, n_salts=n_salts
-            )
 
-        # Align to evolved schema (stable column order across commits).
-        merged = merged.select(*[F.col(f.name) for f in new_schema.fields])
-        new_files = self._write_data_files(merged, version, n_buckets)
+        # Fused MERGE plan (semantics identical to plans/merge.resolve_merge,
+        # asserted in tests/test_lake_merge.py): union target+batch, align to
+        # the evolved schema, then resolve LWW winners with ONE full-row
+        # shuffle keyed by the storage bucket (lww_dedup_bucketed) — the
+        # output is already bucket-partitioned and key-sorted, so the data-
+        # file write below adds no further exchange. The optional salted
+        # pre-stage collapses hot keys to <= n_salts rows first.
+        from pyorchdb_spark.operators.dedup import lww_dedup_bucketed, lww_salt_prestage
+
+        unioned = target_rows.unionByName(source_events, allowMissingColumns=True)
+        unioned = unioned.select(*[F.col(f.name) for f in new_schema.fields])
+        if salted:
+            unioned = lww_salt_prestage(unioned, keys=self.keys, n_salts=n_salts)
+        merged = lww_dedup_bucketed(unioned, n_buckets, keys=self.keys)
+        new_files = self._write_data_files(merged, version, n_buckets, pre_bucketed=True)
         manifest = Manifest(
             version=version,
             parent=m.version if m else None,

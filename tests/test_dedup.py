@@ -62,3 +62,30 @@ def test_tombstone_erases_key(spark):
     ev = spark.createDataFrame(rows, "repo string, path string, commit string, seq long, op string, lang string, content string, batch_id string")
     out = {(r["path"], r["content"]) for r in final_state(ev).collect()}
     assert out == {("b.py", "y")}
+
+
+def test_bucketed_lww_matches_window_and_salted(spark):
+    """The fused bucket-shuffle LWW (one full-row exchange, lag-run winner
+    pick) must equal the window and salted strategies on any input,
+    including duplicate seqs resolved by tiebreakers."""
+    from pyorchdb_spark.operators.dedup import (
+        lww_dedup,
+        lww_dedup_bucketed,
+        lww_dedup_salted,
+    )
+
+    ev = change_events(spark, 3_000)
+    sig = lambda df: {  # noqa: E731
+        (r["repo"], r["path"], r["seq"], r["commit"], r["op"]) for r in df.collect()
+    }
+    win = sig(lww_dedup(ev))
+    for nb in (1, 4, 32):
+        assert sig(lww_dedup_bucketed(ev, nb)) == win
+    assert sig(lww_dedup_salted(ev)) == win
+    # winners stay in their key's bucket and keep the bucket column
+    out = lww_dedup_bucketed(ev, 8)
+    assert "_bucket" in out.columns
+    bad = out.withColumn(
+        "_chk", F.pmod(F.xxhash64("repo", "path"), F.lit(8))
+    ).filter("_chk <> _bucket")
+    assert bad.isEmpty()
