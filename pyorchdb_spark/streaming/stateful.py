@@ -77,6 +77,20 @@ def windowed_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark (``dropDuplicatesWithinWatermark`` — state per
+    key is evicted once the watermark passes, so state size is bounded by
+    the key arrival rate x watermark, not by stream history; plain
+    ``dropDuplicates`` on a stream would grow state forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def _session_output_schema(key_fields: list[StructField]) -> StructType:
     return StructType(
         key_fields
@@ -128,8 +142,7 @@ def make_session_fn(
     update-mode sink, last-snapshot-per-(key, session_start) is the final
     sessions table, byte-equal to batch ``timeseries.sessionize``.
     """
-    qty, unit = gap.split()
-    unit_us = {
+    units_us = {
         "second": US_PER_SECOND,
         "seconds": US_PER_SECOND,
         "minute": 60 * US_PER_SECOND,
@@ -138,8 +151,15 @@ def make_session_fn(
         "hours": 3600 * US_PER_SECOND,
         "day": 86400 * US_PER_SECOND,
         "days": 86400 * US_PER_SECOND,
-    }[unit]
-    gap_us = int(qty) * unit_us
+    }
+    try:
+        qty, unit = gap.split()
+        gap_us = int(qty) * units_us[unit]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"gap {gap!r} must be '<int> <unit>' with unit one of "
+            f"{sorted(set(units_us))}"
+        ) from None
 
     def fn(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: Any):
         if state.exists:

@@ -68,3 +68,26 @@ def test_every_query_runs_and_entry_smoke(spark):
         assert df.count() >= 0, name
     out = entrymod.entry(spark)
     assert out.count() > 0
+
+
+def test_analytics_plan_shapes(spark):
+    """Scale-shape assertions on the physical plans of the join-heavy
+    analytics queries: dimension filter pushed into the scan, columns
+    pruned, and small dimensions broadcast."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    q3 = entrymod.q3_shipping_priority(spark, sf)
+    plan3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3
+    # the BUILDING filter reaches the customer parquet scan
+    assert re.search(r"FileScan parquet.*c_mktsegment[^\n]*DataFilters:[^\n]*c_mktsegment", plan3)
+
+    q1 = entrymod.q1_pricing_summary(spark, sf)
+    plan1 = q1._jdf.queryExecution().executedPlan().toString()
+    scan = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*DataFilters: \[([^\]]*)\]", plan1)
+    assert scan, plan1
+    # column pruning: the 16-col lineitem scan reads only the 6 needed
+    assert len(scan.group(1).split(",")) <= 6
+    # shipdate predicate pushed below the aggregation into the scan
+    assert "l_shipdate" in scan.group(2)

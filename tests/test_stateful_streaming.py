@@ -172,3 +172,38 @@ def test_windowed_stream_keeps_late_within_watermark(spark, tmp_path):
     counts = _late_data_counts(spark, tmp_path, watermark="3 hours")
     assert counts[TS(2024, 1, 1, 10, 0, 0)] == 3  # late event counted
     assert counts[TS(2024, 1, 1, 12, 0, 0)] == 3
+
+
+def test_dedup_stream_drops_redelivery_within_watermark(spark, tmp_path):
+    """The same event_id re-delivered in a later micro-batch (within the
+    watermark) is dropped; new ids pass."""
+    from pyorchdb_spark.streaming.stateful import dedup_stream
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    # reuse the 3-col writer: user_id doubles as the event id here
+    _write_file(str(log_dir / "b0.parquet"),
+                [(1, TS(2024, 1, 1, 10, 0), 1.0), (2, TS(2024, 1, 1, 10, 1), 1.0)],
+                mtime=1_700_000_000)
+    _write_file(str(log_dir / "b1.parquet"),
+                [(1, TS(2024, 1, 1, 10, 2), 99.0),   # re-delivery of id 1
+                 (3, TS(2024, 1, 1, 10, 3), 1.0)],
+                mtime=1_700_000_100)
+    stream = (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir))
+    )
+    out = dedup_stream(stream, keys=("user_id",), ts_col="ts", watermark="1 hour")
+    mem = _run_stream(spark, out, str(tmp_path / "ckpt"))
+    rows = {(r["user_id"], r["value"]) for r in mem.collect()}
+    assert rows == {(1, 1.0), (2, 1.0), (3, 1.0)}  # the 99.0 re-delivery dropped
+
+
+def test_session_fn_rejects_bad_gap():
+    from pyorchdb_spark.streaming.stateful import make_session_fn
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bananas"):
+        make_session_fn("30 bananas")
