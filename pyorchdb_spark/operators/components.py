@@ -52,35 +52,39 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    # Seed with min(self, neighbors) in ONE aggregate — this IS the first
+    # message round, so dense near-dup cliques arrive already converged
+    # and pay only the confirmation pass.
+    labels = edges.groupBy(F.col("s").alias("id")).agg(
+        F.least(F.first("s"), F.min("d")).alias("component")
     )
     labels = labels.localCheckpoint(eager=True)
 
     prev_sum = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor messages: every node offers its label to its neighbors
         msgs = (
             edges.join(labels.withColumnRenamed("id", "s"), "s")
             .select(F.col("d").alias("id"), "component")
         )
-        # pointer jump: follow my label to ITS label (path halving)
-        jump = (
-            labels.alias("l")
-            .join(
-                labels.select(
-                    F.col("id").alias("component"), F.col("component").alias("jumped")
-                ).alias("r"),
-                "component",
+        parts = labels.unionByName(msgs)
+        if it > 0:
+            # pointer jump: follow my label to ITS label (path halving).
+            # Skipped in round 0: labels are one hop old at most, so the
+            # jump cannot know more than the messages — a join saved on
+            # the round every clique-shaped dedup graph finishes in.
+            jump = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("id").alias("component"), F.col("component").alias("jumped")
+                    ).alias("r"),
+                    "component",
+                )
+                .select("l.id", F.col("jumped").alias("component"))
             )
-            .select("l.id", F.col("jumped").alias("component"))
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .unionByName(jump)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
+            parts = parts.unionByName(jump)
+        labels = parts.groupBy("id").agg(F.min("component").alias("component"))
         labels = labels.localCheckpoint(eager=True)
         # monotone convergence witness: sum(component) strictly decreases
         # until fixpoint (decimal(38) — no long overflow at 1e10 ids)
