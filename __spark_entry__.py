@@ -410,6 +410,19 @@ def q_dedup_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_duplicates_by_pairs(docs, pairs, id_col="doc_id").select("doc_id")
 
 
+def q_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scale-path dedup: MinHash-LSH pairs -> connected
+    components -> duplicate groups. Oracle: the LSH output at these fixed
+    params provably equals the exact 3-gram Jaccard pairs (see the
+    dedup_minhash_lsh oracle note), so the recursive-CTE transitive
+    closure over those exact edges is the groups oracle."""
+    from pyorchdb_spark.operators.components import resolve_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
+    return resolve_groups(pairs).select("component_id", "n_members", "rep_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
@@ -422,6 +435,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").cast("long").alias("n_tokens"),
         stopword_ratio("text", "en").alias("stop_ratio_en"),
         lang_id("text").alias("lang_guess"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality scoring (functions/text.py): BPE-ish token
+    count, punctuation ratio, and a 4-term indicator score — all
+    whole-stage-codegen built-ins; score terms are exact quarters so the
+    value hash is float-safe."""
+    from pyorchdb_spark.functions.text import bpe_token_count, punct_ratio, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
     )
 
 
@@ -557,10 +586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_fuzzy_resolve": q_dedup_fuzzy_resolve,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_groups": q_dedup_minhash_groups,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
+        "doc_quality": q_doc_quality,
         "clean_values": q_clean_values,
         "fingerprint": q_fingerprint,
         "normalize_paths": q_normalize_paths,
@@ -858,6 +889,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
         """,
+        # dedup_minhash_groups: same edge set as dedup_minhash_lsh (exact
+        # 3-gram Jaccard >= 0.5 — see the note above), closed transitively.
+        "dedup_minhash_groups": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id AS id, {_SHINGLES3} AS grams FROM documents
+            ),
+            edges AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sig a JOIN sig b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ),
+            und AS (
+              SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges
+            ),
+            reach(a, b) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.a, u.d FROM reach r JOIN und u ON r.b = u.s
+            ),
+            comp AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY a
+            )
+            SELECT CAST(component_id AS BIGINT) AS component_id,
+                   count(*) AS n_members,
+                   CAST(min(id) AS BIGINT) AS rep_id
+            FROM comp GROUP BY component_id
+        """,
         # dedup_embedding_lsh is a containment check (see the query
         # docstring): violations of LSH-subset-of-exact must be empty.
         "dedup_embedding_lsh": """
@@ -877,6 +937,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS stop_ratio_en,
                    {_lang_id_sql()} AS lang_guess
             FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len({_TOKENS}) AS n_tok,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END AS praw,
+                     CASE WHEN len({_TOKENS}) > 0
+                          THEN CAST(len(list_filter({_TOKENS},
+                                 x -> x IN ('the','and','of','to','is','that','with','for'))) AS DOUBLE)
+                               / len({_TOKENS}) ELSE 0.0 END AS sraw,
+                     CASE WHEN len({_TOKENS}) > 0
+                          THEN CAST(length(text) AS DOUBLE) / len({_TOKENS})
+                          ELSE 0.0 END AS mean_len
+              FROM documents
+            )
+            SELECT doc_id,
+                   n_bpe AS n_bpe_tokens,
+                   round(praw, 6) AS punct_ratio,
+                   (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN praw < 0.3 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN sraw > 0.01 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN mean_len BETWEEN 2.0 AND 15.0 THEN 1.0 ELSE 0.0 END
+                   ) / 4.0 AS quality
+            FROM t
         """,
         "clean_values": """
             SELECT doc_id,
