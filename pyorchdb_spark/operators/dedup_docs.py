@@ -46,6 +46,19 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _spread_small_input(df: DataFrame, n_parts: int) -> DataFrame:
+    """Round-robin repartition ONLY when the input is too few files to
+    feed the cores (a single parquet file would serialize the signature
+    scan). When the input already has >= n_parts files, repartitioning
+    would round-robin-shuffle the whole corpus content for nothing —
+    at scale that is a full-table exchange. inputFiles() is metadata-only."""
+    try:
+        few = len(df.inputFiles()) < n_parts
+    except Exception:  # non-file-backed plans (tests, in-memory)
+        few = True
+    return df.repartition(n_parts) if few else df
+
+
 # ---------- token shingles ----------
 
 def _tokens(text_col: str):
@@ -272,7 +285,7 @@ def minhash_lsh_candidates(
     r = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # spread signature computation across cores (input may be few files)
-    sig = docs.repartition(n_parts).select(
+    sig = _spread_small_input(docs, n_parts).select(
         F.col(id_col).alias("id"),
         minhash_signature(word_ngrams(text_col, n), num_hashes).alias("mh"),
     )
@@ -311,7 +324,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     with partial aggregation map-side.
     """
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tok = docs.repartition(n_parts).select(
+    tok = _spread_small_input(docs, n_parts).select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("t")
     )
     h = F.xxhash64("t")
