@@ -89,3 +89,36 @@ def test_bucketed_lww_matches_window_and_salted(spark):
         "_chk", F.pmod(F.xxhash64("repo", "path"), F.lit(8))
     ).filter("_chk <> _bucket")
     assert bad.isEmpty()
+
+
+def test_fused_merge_under_extreme_skew(spark, tmp_path):
+    """One Zipf-degenerate key carrying 50k of 60k events: the salted
+    prestage + fused bucketed LWW must produce the same state as the
+    plain window strategy, and the hot key's winner must be the max-seq
+    event."""
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    hot = spark.range(50_000).selectExpr(
+        "'r' AS repo", "'hot.py' AS path", "concat('c', id) AS commit",
+        "id AS seq", "'upsert' AS op", "'py' AS lang",
+        "concat('v', id) AS content", "'b0' AS batch_id",
+    )
+    cold = spark.range(10_000).selectExpr(
+        "'r' AS repo", "concat('f', id, '.py') AS path", "concat('k', id) AS commit",
+        "id + 100000 AS seq", "'upsert' AS op", "'py' AS lang",
+        "'x' AS content", "'b0' AS batch_id",
+    )
+    events = hot.unionByName(cold)
+
+    states = {}
+    for label, salted in (("plain", False), ("salted", True)):
+        root = str(tmp_path / label)
+        lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+        lake.merge(events, batch_id="b0", salted=salted)
+        states[label] = {
+            (r["path"], r["content"]) for r in lake.snapshot().collect()
+        }
+    assert states["plain"] == states["salted"]
+    assert ("hot.py", "v49999") in states["plain"]
+    assert len(states["plain"]) == 10_001
