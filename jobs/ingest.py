@@ -10,6 +10,11 @@ run_workflow.py, reborn as one idempotent job):
         --events /data/events --table /data/code_files \
         [--mode batch|stream] [--salted] [--checkpoint /data/ckpt]
 
+    spark-submit --py-files dist/engine.zip jobs/ingest.py verify \
+        --events /data/events --table /data/code_files
+        # independent global-LWW pass over the log vs the replayed
+        # table: per-row content sha256 equality (the north-rule gate)
+
 Prints one JSON line with rows/sec so the scaling harness (BENCH/) can
 compare N vs 4N parallelism.
 """
@@ -103,6 +108,69 @@ def cmd_replay(args) -> dict:
     }
 
 
+def cmd_verify(args) -> dict:
+    """North-rule gate: replaying the full event log must reproduce the
+    final table state with per-row content sha256 equality
+    (BASELINE.json:6,15). The expected state is computed by a SECOND,
+    independent execution path — one global LWW window over the whole log
+    (operators/dedup.py) — and compared sha-for-sha against the
+    incrementally MERGE-replayed table, so a bug in the merge/bucketing
+    path cannot vanish into an identical bug in the oracle.
+
+    Scale shape: one shuffle per side + one full-outer equi-join on the
+    key; mismatch counts come from a single aggregate (no exceptAll
+    double-recompute).
+    """
+    from pyspark.sql import functions as F
+
+    from pyorchdb_spark.ingest import invalid_reason, prepare_events
+    from pyorchdb_spark.operators.dedup import lww_dedup, lww_dedup_salted
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    events = spark.read.parquet(args.events)
+    lake = LakeTable(spark, args.table)
+
+    t0 = time.time()
+    prepared = prepare_events(events, jvm_only=args.jvm_hash).filter(
+        invalid_reason().isNull()
+    )
+    dedup = lww_dedup_salted if args.salted else lww_dedup
+    expected = (
+        dedup(prepared)
+        .filter(F.col("op") != "delete")
+        .select("repo", "path", F.col("content_sha256").alias("_sha_expected"))
+    )
+    actual = lake.snapshot().select(
+        "repo", "path", F.col("content_sha256").alias("_sha_actual")
+    )
+    j = actual.join(expected, ["repo", "path"], "full_outer")
+    row = j.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.count(F.when(F.col("_sha_actual").isNull(), 1)).alias("missing_in_table"),
+        F.count(F.when(F.col("_sha_expected").isNull(), 1)).alias("extra_in_table"),
+        F.count(
+            F.when(
+                F.col("_sha_actual").isNotNull()
+                & F.col("_sha_expected").isNotNull()
+                & (F.col("_sha_actual") != F.col("_sha_expected")),
+                1,
+            )
+        ).alias("sha_mismatch"),
+    ).collect()[0]
+    ok = row.missing_in_table == 0 and row.extra_in_table == 0 and row.sha_mismatch == 0
+    return {
+        "cmd": "verify",
+        "keys": row.keys,
+        "missing_in_table": row.missing_in_table,
+        "extra_in_table": row.extra_in_table,
+        "sha_mismatch": row.sha_mismatch,
+        "sha256_equal": ok,
+        "sec": round(time.time() - t0, 3),
+        "table_version": lake.current_version(),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -132,8 +200,16 @@ def main(argv=None) -> None:
                         "default derives width from the master's core count)")
     r.add_argument("--master", default=None)
 
+    v = sub.add_parser("verify")
+    v.add_argument("--events", required=True)
+    v.add_argument("--table", required=True)
+    v.add_argument("--salted", action="store_true")
+    v.add_argument("--jvm-hash", action="store_true")
+    v.add_argument("--shuffle-partitions", type=int, default=None)
+    v.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
-    out = cmd_generate(args) if args.cmd == "generate" else cmd_replay(args)
+    out = {"generate": cmd_generate, "replay": cmd_replay, "verify": cmd_verify}[args.cmd](args)
     print(json.dumps(out))
 
 

@@ -48,3 +48,41 @@ def test_cli_generate_and_replay_both_modes(spark, tmp_path, capsys):
         return {tuple(r) for r in snap.select("repo", "path", "content_sha256").collect()}
 
     assert sig(str(tmp_path / "t_batch")) == sig(str(tmp_path / "t_jvm")) == sig(str(tmp_path / "t_stream"))
+
+
+def test_cli_verify_sha_equality(spark, tmp_path, capsys):
+    """`verify` recomputes the final state via the global-LWW window path
+    and must report per-row sha256 equality with the MERGE-replayed table;
+    corrupting one stored row must be detected."""
+    main = _main()
+    events = str(tmp_path / "events")
+    table = str(tmp_path / "t")
+    main(["generate", "--out", events, "--n-events", "3000", "--batch-size", "1000"])
+    capsys.readouterr()
+    main(["replay", "--events", events, "--table", table, "--no-warmup"])
+    capsys.readouterr()
+
+    main(["verify", "--events", events, "--table", table])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sha256_equal"] is True
+    assert rep["missing_in_table"] == 0 and rep["extra_in_table"] == 0 and rep["sha_mismatch"] == 0
+    assert rep["keys"] > 0
+
+    # salted verify path agrees
+    main(["verify", "--events", events, "--table", table, "--salted"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["sha256_equal"] is True and rep2["keys"] == rep["keys"]
+
+    # negative control: drop one live row from the log (replays a log the
+    # table was NOT built from) -> verify must flag the divergence
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(events)
+    victim = (
+        ev.filter(F.col("op") == "upsert").orderBy(F.col("seq").desc()).limit(1).collect()[0]
+    )
+    truncated = str(tmp_path / "events_trunc")
+    ev.filter(F.col("seq") != victim.seq).write.parquet(truncated)
+    main(["verify", "--events", truncated, "--table", table])
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["sha256_equal"] is False
