@@ -80,15 +80,20 @@ def main() -> None:
     events = spark.read.parquet(events_dir)
     n_rows = events.count()
 
-    # A/B the two skew strategies on identical input (SURVEY.md section 4):
-    # max_by hash-agg (map-side combine) vs explicit salted window dedup.
+    # A/B the skew strategies + write paths on identical input (SURVEY.md
+    # section 4): plain window dedup vs salted two-stage, and copy-on-write
+    # vs merge-on-read delta commits.
     replay_stats = {}
-    for label, salted in (("cdc_replay", False), ("cdc_replay_salted", True)):
+    for label, salted, mor in (
+        ("cdc_replay", False, False),
+        ("cdc_replay_salted", True, False),
+        ("cdc_replay_mor", False, True),
+    ):
         work = os.path.join(REPO, ".bench_work", label)
         shutil.rmtree(work, ignore_errors=True)
         lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
         t0 = time.time()
-        replay(lake, ledger, events, salted=salted)
+        replay(lake, ledger, events, salted=salted, mor=mor)
         sec = round(time.time() - t0, 3)
         timings[label] = sec
         replay_stats[label] = round(n_rows / sec, 1)

@@ -94,7 +94,7 @@ def cmd_replay(args) -> dict:
         )
     else:
         replay(lake, ledger, events, salted=args.salted, num_files=args.num_files,
-               jvm_only_udfs=args.jvm_hash)
+               jvm_only_udfs=args.jvm_hash, mor=args.mor)
     dt = time.time() - t0
     return {
         "cmd": "replay",
@@ -192,6 +192,10 @@ def main(argv=None) -> None:
     r.add_argument("--num-files", type=int, default=None)
     r.add_argument("--coalesce-batches", action="store_true")
     r.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
+    r.add_argument("--mor", action="store_true",
+                   help="merge-on-read delta commits: per-batch write cost "
+                        "proportional to the batch (not the table); reads "
+                        "resolve LWW across base+delta until self-compaction")
     r.add_argument("--jvm-hash", action="store_true",
                    help="use built-in sha2/regexp instead of pandas UDFs (scaling isolation)")
     r.add_argument("--shuffle-partitions", type=int, default=None,

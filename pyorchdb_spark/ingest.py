@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pyorchdb_spark.functions.udfs import normalize_path, sha256_content
 from pyorchdb_spark.sources.catalog import BatchLedger
-from pyorchdb_spark.sources.lake import LakeTable
+from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES, LakeTable
 
 
 @dataclass
@@ -100,8 +100,14 @@ def apply_batch(
     num_files: int | None = None,
     cache_batch: bool = False,
     jvm_only_udfs: bool = False,
+    mor: bool = False,
 ) -> ApplyResult:
-    """Apply one batch idempotently. Safe to call twice with the same id."""
+    """Apply one batch idempotently. Safe to call twice with the same id.
+
+    ``mor=True`` routes the merge through the delta-append path
+    (sources/lake.py merge-on-read): bytes written per batch stay
+    proportional to the batch, never to the table.
+    """
     if ledger.is_committed(batch_id):
         return ApplyResult(batch_id, skipped=True, version=None, rows_in=0, table_rows_after=0)
 
@@ -141,6 +147,7 @@ def apply_batch(
             salted=salted,
             n_salts=n_salts,
             num_files=num_files,
+            mor=mor,
             # first-batch volume hint: sizes the initial bucket count so
             # files start near target_rows_per_file instead of a fixed 32
             rows_hint=int(sum(r["rows_in"] for r in metrics)),
@@ -172,8 +179,18 @@ def replay(
     num_files: int | None = None,
     cache_batch: bool = False,
     jvm_only_udfs: bool = False,
+    mor: bool = False,
+    mor_compact_factor: int = 8,
 ) -> list[ApplyResult]:
-    """Batch-mode replay of a whole event log in batch_id order."""
+    """Batch-mode replay of a whole event log in batch_id order.
+
+    ``mor=True``: each batch lands as a delta commit (write cost
+    proportional to the batch). Read cost grows with accumulated deltas,
+    so the replay self-compacts once delta commits outnumber
+    ``mor_compact_factor`` — amortized, the table is rewritten every K
+    batches instead of every batch, turning per-batch write amplification
+    from O(table) into O(table / K + batch).
+    """
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
     for b in batch_ids:
@@ -188,6 +205,14 @@ def replay(
                 num_files=num_files,
                 cache_batch=cache_batch,
                 jvm_only_udfs=jvm_only_udfs,
+                mor=mor,
             )
         )
+        if mor:
+            m = lake.manifest()
+            delta_commits = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})
+            if delta_commits >= mor_compact_factor:
+                # retain ALL tombstones: mid-replay, arbitrarily late
+                # events may still arrive (no low-watermark yet)
+                lake.compact(tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES)
     return results

@@ -67,6 +67,11 @@ from pyspark.sql.types import StructType
 
 from pyorchdb_spark.operators.dedup import DEFAULT_KEYS
 
+# compact(tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES) folds MoR deltas
+# into base files while keeping every tombstone (no ingest low-watermark
+# yet -> arbitrarily late events may still arrive)
+RETAIN_ALL_TOMBSTONES = -(1 << 62)
+
 KEY_SEP = "\x00"
 
 
@@ -211,6 +216,12 @@ class LakeTable:
         Stored state retains tombstone rows (op='delete') so out-of-order
         late events can never resurrect a deleted key (plans/merge.py);
         user-facing reads filter them unless ``include_tombstones``.
+
+        Merge-on-read: when the manifest carries delta files (``merge``
+        with ``mor=True``), the same key may appear in a base file and in
+        one or more deltas; the read resolves last-writer-wins across all
+        of them (one window shuffle — the documented MoR read cost, paid
+        until ``compact`` folds deltas back into base files).
         """
         m = self.manifest(version)
         if m is None or not m.files:
@@ -219,6 +230,10 @@ class LakeTable:
         else:
             paths = [os.path.join(self.root, f["path"]) for f in m.files]
             df = self.spark.read.schema(m.schema()).parquet(*paths)
+        if m is not None and any(f.get("delta") for f in m.files):
+            from pyorchdb_spark.operators.dedup import lww_dedup
+
+            df = lww_dedup(df, keys=self.keys)
         if not include_tombstones and "op" in df.columns:
             df = df.filter(F.col("op") != "delete").drop("op")
         return df
@@ -392,13 +407,28 @@ class LakeTable:
         n_salts: int = 16,
         num_files: int | None = None,
         rows_hint: int | None = None,
+        mor: bool = False,
     ) -> Manifest:
         """MERGE INTO this table: upsert/delete with LWW-by-seq semantics.
 
-        Copy-on-write over affected buckets only. Idempotent: merging the
-        same batch twice yields byte-identical state.
+        Default is copy-on-write over affected buckets only. Idempotent:
+        merging the same batch twice yields byte-identical state.
+
+        ``mor=True`` (merge-on-read, the Hudi-MOR / Iceberg-deletes shape):
+        the commit appends ONLY the batch's per-key LWW winners as
+        bucket-aligned *delta* files — bytes written per batch are
+        proportional to the batch, never to the table, which is the
+        scale-correct write path when batch keys disperse across most
+        buckets (a 10^6-key batch over a 10^5-bucket table touches every
+        bucket; CoW would rewrite the whole table per batch). Reads
+        resolve LWW across base+delta (see ``snapshot``) until ``compact``
+        folds deltas down. Re-applying a batch appends identical winners —
+        resolution makes the re-apply a logical no-op (state-equal, not
+        byte-identical like CoW).
         """
         m = self.manifest()
+        if mor and m is not None and m.files:
+            return self._merge_mor(m, source_events, batch_id, salted=salted, n_salts=n_salts)
         version = (m.version if m else 0) + 1
         # Bucket generation carries forward from the table (splits may
         # raise it); a fresh table sizes it from volume.
@@ -444,6 +474,52 @@ class LakeTable:
             batch_id=batch_id,
             schema_json=json.dumps(new_schema.jsonValue()),
             files=sorted(untouched + new_files, key=lambda f: f["path"]),
+            n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+        )
+        try:
+            self._publish(manifest)
+        except ConcurrentCommitError:
+            self._remove_orphans(new_files)
+            raise
+        return manifest
+
+    def _merge_mor(
+        self,
+        m: Manifest,
+        source_events: DataFrame,
+        batch_id: str | None,
+        *,
+        salted: bool = False,
+        n_salts: int = 16,
+    ) -> Manifest:
+        """Delta commit: write the batch's LWW winners, touch no base file."""
+        from pyorchdb_spark.operators.dedup import lww_dedup_bucketed, lww_salt_prestage
+
+        version = m.version + 1
+        n_buckets = m.n_buckets or self._initial_buckets(None, None)
+        new_schema = self._evolve_schema(m.schema(), source_events.schema)
+        # align the batch to the evolved schema (additive evolution: a
+        # column the batch lacks is null; older stored files gain it as
+        # null at read via the manifest schema)
+        have = set(source_events.columns)
+        batch = source_events.select(
+            *[
+                F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+        if salted:
+            batch = lww_salt_prestage(batch, keys=self.keys, n_salts=n_salts)
+        merged = lww_dedup_bucketed(batch, n_buckets, keys=self.keys)
+        new_files = self._write_data_files(merged, version, n_buckets, pre_bucketed=True)
+        for f in new_files:
+            f["delta"] = True
+        manifest = Manifest(
+            version=version,
+            parent=m.version,
+            batch_id=batch_id,
+            schema_json=json.dumps(new_schema.jsonValue()),
+            files=sorted(m.files + new_files, key=lambda f: f["path"]),
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
         )
         try:
