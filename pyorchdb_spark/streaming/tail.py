@@ -51,8 +51,16 @@ def tail_events(
     num_files: int | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    mor: bool = False,
+    mor_compact_factor: int = 8,
 ) -> StreamingQuery:
-    """Start the tail; returns the query (caller awaits termination)."""
+    """Start the tail; returns the query (caller awaits termination).
+
+    ``mor=True``: each micro-batch lands as a merge-on-read delta commit
+    (write cost proportional to the micro-batch — the right shape for a
+    high-frequency tail); the sink self-compacts once delta commits reach
+    ``mor_compact_factor``, same policy as batch replay.
+    """
     # NOTE: the event log is written partitionBy("batch_id"); the file
     # source discovers the partition column as long as it appears in the
     # explicit schema (no recursiveFileLookup — that disables discovery).
@@ -76,7 +84,16 @@ def tail_events(
             salted=salted,
             n_salts=n_salts,
             num_files=num_files,
+            mor=mor,
         )
+        if mor:
+            m = lake.manifest()
+            if m is not None:
+                n_delta = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})
+                if n_delta >= mor_compact_factor:
+                    from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES
+
+                    lake.compact(tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

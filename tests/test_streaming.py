@@ -120,3 +120,30 @@ def test_out_of_order_upsert_across_stream_restarts(spark, tmp_path):
     assert state2 == state
     # and the re-delivery actually ran (markers from both stream identities)
     assert ledger.markers().count() >= 3
+
+
+def test_stream_tail_mor_equals_batch_cow(spark, tmp_path):
+    """Streaming tail with merge-on-read delta commits (micro-batch write
+    cost proportional to the micro-batch) reaches the same final state as
+    a batch copy-on-write replay of the same log."""
+    from pyorchdb_spark.ingest import replay
+
+    ev = change_events(spark, 3_000, batch_size=1_000)
+    log_dir = str(tmp_path / "log")
+    write_events(ev, log_dir)
+
+    mor_root = str(tmp_path / "t_mor")
+    lake_mor, ledger_mor = LakeTable(spark, mor_root), BatchLedger(spark, mor_root)
+    run_tail_to_completion(
+        spark, log_dir, lake_mor, ledger_mor, str(tmp_path / "ckpt"),
+        num_files=2, max_files_per_trigger=4, mor=True, mor_compact_factor=2,
+    )
+
+    cow_root = str(tmp_path / "t_cow")
+    replay(LakeTable(spark, cow_root), BatchLedger(spark, cow_root), ev, num_files=2)
+
+    def sig(lake):
+        rows = lake.snapshot().select("repo", "path", "content_sha256").collect()
+        return {tuple(r) for r in rows}
+
+    assert sig(lake_mor) == sig(LakeTable(spark, cow_root))
