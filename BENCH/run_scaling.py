@@ -154,6 +154,10 @@ def main() -> None:
     p.add_argument("--content-max-reps", type=int, default=2)
     p.add_argument("--configs", default="udf_single,jvm_single,udf_multi,udf_fixed64,jvm_fixed64")
     p.add_argument("--skip-cpu-probe", action="store_true")
+    p.add_argument("--write-baseline", action="store_true",
+                   help="overwrite BENCH/BASELINE.md with this run's numbers "
+                        "(off by default: a small smoke run must not clobber "
+                        "the committed full-protocol evidence)")
     a = p.parse_args()
 
     zpath = build_zip()
@@ -290,9 +294,12 @@ from manifest bucket metadata (zero table scan); bucket count sizes from
 volume with per-bucket splitting, so write parallelism and file sizes are
 decoupled from cluster size; all driver-side work is O(files) JSON.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    if a.write_baseline:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+            fh.write(md)
+        print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    else:
+        print("BENCH/BASELINE.md untouched (pass --write-baseline to record this run)", file=sys.stderr)
 
 
 if __name__ == "__main__":
