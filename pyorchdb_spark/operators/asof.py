@@ -15,11 +15,15 @@ linear and needs exactly ONE shuffle:
     1. tag right rows 0, left rows 1 (payload columns null on left);
     2. union, hash-shuffle on the join keys, sort within partition by
        (ts, tag) — the same shuffle+sort a window function needs;
-    3. running ``last(payload, ignorenulls=True)`` over rows unbounded
-       preceding: for every left row that is exactly "the latest right row
-       at or earlier ts" (ties: right sorts first via tag, so an
-       equal-ts right row IS visible — inclusive as-of);
-    4. keep tag=1 rows.
+    3. running ``last(payload_struct, ignorenulls=True)`` over rows
+       unbounded preceding: for every left row that is exactly "the latest
+       right row at or earlier ts" (ties: right sorts first via tag, so an
+       equal-ts right row IS visible — inclusive as-of). All right payload
+       columns ride in ONE struct (null only on left rows), so every
+       matched column comes from the SAME right row — a NULL payload value
+       in the latest right row stays NULL instead of being backfilled from
+       an older right row (matching DuckDB ASOF / pandas merge_asof);
+    4. keep tag=1 rows, unpack the struct.
 
 Per-executor state is one row (the running payload); no pair blowup; skew
 on a hot key is bounded by that key's row count, the same bound any
@@ -57,21 +61,29 @@ def asof_join(
     rname = {c: (c + suffix if c in left.columns else c) for c in payload}
     ts_r = right_ts + suffix
 
+    # All matched columns travel in one struct so a single running
+    # last(ignorenulls) picks one whole right ROW; the struct itself is
+    # null exactly on left rows (ts_r is non-null on every right row).
     r = right.select(
         *by,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(right_ts).alias(ts_r),
-        *[F.col(c).alias(rname[c]) for c in payload],
+        F.struct(
+            F.col(right_ts).alias(ts_r),
+            *[F.col(c).alias(rname[c]) for c in payload],
+        ).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by],
+    )
+    null_struct = F.struct(
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_r),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rname[c]) for c in payload],
     )
     l = left.select(
         *by,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_r),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(rname[c]) for c in payload],
+        F.when(F.lit(False), null_struct).alias("_r"),
         *[F.col(c) for c in left.columns if c not in by],
     )
     w = (
@@ -80,10 +92,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched_cols = [ts_r] + [rname[c] for c in payload]
-    out = r.unionByName(l)
-    for c in matched_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col("_tag") == 1)
+    out = (
+        r.unionByName(l)
+        .withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+        .select("*", *[F.col(f"_r.{c}").alias(c) for c in matched_cols])
+        .drop("_r")
+    )
     if tolerance is not None:
         # materialize the flag BEFORE nulling: the predicate reads ts_r,
         # which is itself one of the columns being nulled

@@ -128,7 +128,10 @@ def ngram_jaccard_pairs(
       ~24-byte row, not of the document content; gram arrays are
       equi-joined back per candidate id for the exact verify.
 
-    ``n_docs`` skips the gating count when the caller already knows it.
+    ``n_docs`` skips the gating count when the caller already knows it;
+    otherwise the gate is a ``limit(broadcast_max_docs+1).count()`` — an
+    incremental scan that stops as soon as the bound is exceeded, never a
+    full corpus scan spent only to decide NOT to broadcast.
     This stays the small/exact baseline; the 100-TB path is
     ``minhash_lsh_pairs`` (banded signatures, no all-pairs enumeration).
     """
@@ -139,7 +142,8 @@ def ngram_jaccard_pairs(
     ).withColumn("sz", F.size("grams")).withColumn("band", _size_band(F.col("sz"), threshold))
 
     if n_docs is None:
-        n_docs = docs.count()
+        # gate only needs "<= broadcast_max_docs?" — bounded limit-count
+        n_docs = docs.limit(broadcast_max_docs + 1).count()
     t = F.lit(float(threshold))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
@@ -217,12 +221,18 @@ def minhash_signature(grams_col, num_hashes: int = 32):
     (expensive) shingle-construction subtree into every expression that
     references it, so the k-transform form recomputes the n-gram build
     k times — measured 20x slower at sf0.1 (102s -> 5.6s for k=32).
-    Output is bit-identical to the naive form: element i is
-    min over grams of xxhash64(gram, i).
+    For NON-EMPTY gram arrays, element i is min over grams of
+    xxhash64(gram, i) — identical to the naive form. An EMPTY array has
+    no minhash (the naive form gave all-null, the fold would give the
+    all-MAX_LONG init sentinel); we return NULL so empty/short docs don't
+    all share one sentinel signature and band-collide as LSH candidates —
+    callers must drop null signatures before banding (their Jaccard
+    against anything is 0/undefined, so no qualifying pair is lost for
+    any threshold > 0).
     """
     max_long = (1 << 63) - 1
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
-    return F.aggregate(
+    agg = F.aggregate(
         grams_col,
         init,
         lambda acc, g: F.zip_with(
@@ -231,6 +241,11 @@ def minhash_signature(grams_col, num_hashes: int = 32):
             lambda a, b: F.least(a, b),
         ),
     )
+    # size() is O(1) on a bound array column; when grams_col is a column
+    # REFERENCE (see call sites) the expensive shingle build is not
+    # duplicated — CollapseProject keeps non-cheap producers referenced
+    # more than once in their own projection.
+    return F.when(F.size(grams_col) > 0, agg).otherwise(F.lit(None))
 
 
 def minhash_lsh_pairs(
@@ -284,10 +299,16 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # spread signature computation across cores (input may be few files)
-    sig = _spread_small_input(docs, n_parts).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_ngrams(text_col, n), num_hashes).alias("mh"),
+    # spread signature computation across cores (input may be few files);
+    # grams materialized in their own projection so the null-guard in
+    # minhash_signature (which references the column twice) doesn't
+    # duplicate the shingle build; null signatures = shingle-less docs,
+    # dropped before banding (see minhash_signature docstring)
+    sig = (
+        _spread_small_input(docs, n_parts)
+        .select(F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams"))
+        .select("id", minhash_signature(F.col("grams"), num_hashes).alias("mh"))
+        .filter(F.col("mh").isNotNull())
     )
     banded = sig.select(
         "id",

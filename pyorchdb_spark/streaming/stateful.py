@@ -20,10 +20,16 @@ Scale notes (100 TB/day of events):
   stream/batch parity is exact, not float-rounded.
 - Cross-batch ordering: a session extends across micro-batches in event
   order (the file/Kafka source replays in offset order).  Out-of-order
-  WITHIN a batch is sorted; an event older than the open session's end
-  still joins it (closed-interval merge) but cannot reopen a session
-  already closed by gap — for that, feed the log through the LWW merge
-  path (``ingest.replay``) whose tombstone handling is order-free.
+  WITHIN a batch is sorted; a late segment joins the open session only
+  when it lies within ``gap`` of the session INTERVAL (it may extend the
+  start backwards by at most one gap).  A late segment entirely before
+  ``session_start - gap`` is emitted as its own immediately-closed
+  session — matching what batch sessionize yields for those events —
+  rather than being glued across an arbitrarily large gap.  What
+  streaming still cannot do is merge such a segment into a session that
+  was ALREADY closed and emitted in an earlier batch; exact parity with
+  batch for arbitrarily-late data needs the order-free LWW merge path
+  (``ingest.replay``) instead.
 """
 
 from __future__ import annotations
@@ -178,11 +184,20 @@ def make_session_fn(
                 if cur_start is None:
                     cur_start, cur_end, cur_n, cur_tot = int(start_us), int(end_us), int(n), float(tot)
                 elif int(start_us) - cur_end > gap_us:
+                    # entirely after the open session, beyond gap
                     closed.append((cur_start, cur_end, cur_n, cur_tot))
                     cur_start, cur_end, cur_n, cur_tot = int(start_us), int(end_us), int(n), float(tot)
+                elif cur_start - int(end_us) > gap_us:
+                    # cross-batch late segment entirely BEFORE the open
+                    # session, beyond gap: its own (terminal) session —
+                    # batch sessionize would never glue these (within one
+                    # batch _segment already splits on > gap, so this arm
+                    # is reachable only against carried-over state)
+                    closed.append((int(start_us), int(end_us), int(n), float(tot)))
                 else:
-                    # closed-interval merge; an in-gap but out-of-order
-                    # segment can extend start backwards within the batch
+                    # within gap of the session interval: merge; an in-gap
+                    # out-of-order segment extends start backwards by at
+                    # most one gap
                     cur_start = min(cur_start, int(start_us))
                     cur_end = max(cur_end, int(end_us))
                     cur_n += int(n)

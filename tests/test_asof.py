@@ -38,6 +38,25 @@ def test_asof_basic_semantics(spark):
     assert out["c"] == (None, None)                      # nothing earlier
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A NULL payload value in the LATEST right row must stay NULL — not
+    be stitched from an older right row (DuckDB ASOF / merge_asof
+    semantics). Regression for the per-column F.last formulation."""
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 0, 30), "x")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 0, 0, 10), 100.0, "live"),
+            (1, TS(2024, 1, 1, 0, 0, 20), None, None),
+        ],
+        "k long, ts timestamp, price double, status string",
+    )
+    row = asof_join(left, right, by=["k"]).collect()[0]
+    assert row["ts_right"] == TS(2024, 1, 1, 0, 0, 20)
+    assert row["price"] is None and row["status"] is None
+
+
 def test_asof_tolerance(spark):
     """Matches older than the tolerance are nulled, row still kept."""
     left = spark.createDataFrame(

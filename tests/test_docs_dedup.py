@@ -99,8 +99,23 @@ def test_minhash_candidate_exchange_is_signature_only(spark):
     from pyorchdb_spark.operators.dedup_docs import minhash_lsh_candidates
 
     cand = minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=16, n=3)
-    plan = cand._jdf.queryExecution().executedPlan().toString()
-    assert "grams" not in plan
+    # grams is now a named pre-exchange projection (so the null-signature
+    # guard doesn't duplicate the shingle build); the invariant is that no
+    # Exchange node's INPUT/arguments carry the array — check formatted
+    # explain, where every node block lists its input attributes.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cand.explain("formatted")
+    blocks = buf.getvalue().split("\n\n")
+    exchange_blocks = [
+        b for b in blocks if b.strip() and ") Exchange" in b.splitlines()[0]
+    ]
+    assert exchange_blocks, "expected at least one Exchange node block"
+    for b in exchange_blocks:
+        assert "grams" not in b, b
     assert cand.columns == ["id_a", "id_b"]
 
 
@@ -174,3 +189,30 @@ def test_simhash_large_hamming_complete(spark):
     }
     got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(_docs(spark), max_hamming=8).collect()}
     assert got == brute
+
+
+def test_minhash_empty_docs_get_null_signature_not_sentinel(spark):
+    """ADVICE r2: shingle-less docs must not all share the MAX_LONG init
+    sentinel and band-collide as candidates — they get NULL signatures
+    and are dropped before banding."""
+    from pyorchdb_spark.operators.dedup_docs import minhash_lsh_candidates, minhash_signature
+
+    docs = spark.createDataFrame(
+        DOCS + [(7, "", "en", "web"), (8, "   ", "en", "web"), (9, "\t\n", "en", "web")],
+        SCHEMA,
+    )
+    sigs = {
+        r["doc_id"]: r["mh"]
+        for r in docs.select(
+            "doc_id", word_ngrams("text", 1).alias("g")
+        ).select(
+            "doc_id", minhash_signature(F.col("g"), 8).alias("mh")
+        ).collect()
+    }
+    assert sigs[7] is None and sigs[8] is None and sigs[9] is None
+    assert sigs[1] is not None and sigs[1] == sigs[2]  # exact dups still collide
+
+    cand = minhash_lsh_candidates(docs, num_hashes=16, bands=8, n=1)
+    ids_in_pairs = {x for r in cand.collect() for x in (r["id_a"], r["id_b"])}
+    assert not ids_in_pairs & {7, 8, 9}
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}

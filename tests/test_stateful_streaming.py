@@ -207,3 +207,62 @@ def test_session_fn_rejects_bad_gap():
 
     with pytest.raises(ValueError, match="bananas"):
         make_session_fn("30 bananas")
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing make_session_fn."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, tup):
+        self._t = tup
+
+
+def _run_fn(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return list(fn((1,), [pdf], state))
+
+
+def test_session_fn_far_late_segment_not_glued_to_open_session():
+    """ADVICE r2: a cross-batch late segment entirely before the open
+    session (beyond gap) becomes its own closed session — it must not
+    merge across an arbitrarily large gap. Within-gap backward extension
+    still merges."""
+    from pyorchdb_spark.streaming.stateful import make_session_fn
+
+    US = 1_000_000
+    fn = make_session_fn("10 seconds", keys=("user_id",))
+
+    # open session [100s, 200s] carried in state; late event at 50s
+    state = _FakeState((100 * US, 200 * US, 5, 5.0))
+    [out] = _run_fn(fn, state, [(1, TS(1970, 1, 1, 0, 0, 50), 1.0)])
+    got = {
+        (r.session_start, r.session_end, r.n_events, r.closed)
+        for r in out.itertuples()
+    }
+    # late segment: terminal session of its own; open session untouched
+    assert got == {
+        (TS(1970, 1, 1, 0, 0, 50), TS(1970, 1, 1, 0, 0, 50), 1, True),
+        (TS(1970, 1, 1, 0, 1, 40), TS(1970, 1, 1, 0, 3, 20), 5, False),
+    }
+    assert state.get == (100 * US, 200 * US, 5, 5.0)
+
+    # within-gap late event (95s, gap 10s) still extends start backwards
+    state2 = _FakeState((100 * US, 200 * US, 5, 5.0))
+    [out2] = _run_fn(fn, state2, [(1, TS(1970, 1, 1, 0, 1, 35), 2.0)])
+    assert state2.get == (95 * US, 200 * US, 6, 7.0)
+    assert {(r.session_start, r.closed) for r in out2.itertuples()} == {
+        (TS(1970, 1, 1, 0, 1, 35), False)
+    }
