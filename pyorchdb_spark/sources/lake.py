@@ -319,7 +319,23 @@ class LakeTable:
                 )
         return out
 
-    def _affected_files(self, m: Manifest, source: DataFrame) -> tuple[list[dict], list[dict]]:
+    @staticmethod
+    def bucket_gens(m: Manifest | None) -> list[int]:
+        """Bucket-count generations present in a manifest (driver-only).
+
+        Callers use this to fold the affected-bucket discovery into an
+        aggregation pass they already run over the batch (ingest.apply_batch
+        + catalog.collect_partition_metrics) and hand the hit set to
+        ``merge(affected_hits=...)`` — one batch scan instead of two."""
+        if m is None:
+            return []
+        return sorted(
+            {f["nb"] for f in m.files if f.get("bucket") is not None and f.get("nb")}
+        )
+
+    def _affected_files(
+        self, m: Manifest, source: DataFrame, hits: set[tuple[int, int]] | None = None
+    ) -> tuple[list[dict], list[dict]]:
         """Split manifest files into (affected, untouched) for this batch.
 
         The batch's distinct key buckets are computed per bucket-count
@@ -327,6 +343,11 @@ class LakeTable:
         carry a smaller nb) in ONE partial-aggregated distinct over the
         batch; membership is then pure driver-side set arithmetic. Exact
         for an equi-key MERGE — no table scan, no per-file job.
+
+        ``hits``: precomputed {(nb, bucket)} hit set (from a pass the
+        caller already ran, e.g. the fused lineage-metrics aggregation) —
+        skips the Spark job entirely. A SUPERSET of the true hit set is
+        safe: an extra "affected" file is rewritten with unchanged rows.
         """
         if not m.files:
             return [], []
@@ -340,28 +361,29 @@ class LakeTable:
                 affected.append(f)
         untouched: list[dict] = []
         if bucketed:
-            gens = sorted({f["nb"] for f in bucketed})
-            h = F.xxhash64(*[F.col(k) for k in self.keys])
-            hit = {
-                (r["nb"], r["b"])
-                for r in source.select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(nb).alias("nb"), F.pmod(h, F.lit(nb)).alias("b")
-                                )
-                                for nb in gens
-                            ]
-                        )
-                    ).alias("x")
-                )
-                .select("x.nb", "x.b")
-                .distinct()
-                .collect()
-            }
+            if hits is None:
+                gens = sorted({f["nb"] for f in bucketed})
+                h = F.xxhash64(*[F.col(k) for k in self.keys])
+                hits = {
+                    (r["nb"], r["b"])
+                    for r in source.select(
+                        F.explode(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        F.lit(nb).alias("nb"), F.pmod(h, F.lit(nb)).alias("b")
+                                    )
+                                    for nb in gens
+                                ]
+                            )
+                        ).alias("x")
+                    )
+                    .select("x.nb", "x.b")
+                    .distinct()
+                    .collect()
+                }
             for f in bucketed:
-                (affected if (f["nb"], f["bucket"]) in hit else untouched).append(f)
+                (affected if (f["nb"], f["bucket"]) in hits else untouched).append(f)
         return affected, untouched
 
     @staticmethod
@@ -408,8 +430,17 @@ class LakeTable:
         num_files: int | None = None,
         rows_hint: int | None = None,
         mor: bool = False,
+        affected_hits: set[tuple[int, int]] | None = None,
+        manifest: Manifest | None = None,
     ) -> Manifest:
         """MERGE INTO this table: upsert/delete with LWW-by-seq semantics.
+
+        ``affected_hits``/``manifest``: a caller that already scanned the
+        batch (ingest.apply_batch's fused lineage pass) hands in the
+        {(nb, bucket)} hit set and the manifest it derived the generations
+        from, so MERGE launches no extra discovery job and re-parses no
+        manifest JSON — the whole batch runs as ONE aggregation job plus
+        ONE merge/write job.
 
         Default is copy-on-write over affected buckets only. Idempotent:
         merging the same batch twice yields byte-identical state.
@@ -426,7 +457,7 @@ class LakeTable:
         resolution makes the re-apply a logical no-op (state-equal, not
         byte-identical like CoW).
         """
-        m = self.manifest()
+        m = manifest if manifest is not None else self.manifest()
         if mor and m is not None and m.files:
             return self._merge_mor(m, source_events, batch_id, salted=salted, n_salts=n_salts)
         version = (m.version if m else 0) + 1
@@ -446,7 +477,7 @@ class LakeTable:
             untouched: list[dict] = []
         else:
             new_schema = self._evolve_schema(m.schema(), state_schema)
-            affected, untouched = self._affected_files(m, source_events)
+            affected, untouched = self._affected_files(m, source_events, hits=affected_hits)
             if affected:
                 paths = [os.path.join(self.root, f["path"]) for f in affected]
                 target_rows = self.spark.read.schema(m.schema()).parquet(*paths)
