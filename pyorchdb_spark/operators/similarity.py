@@ -118,9 +118,12 @@ def lsh_topk(
         q = q.withColumn("bucket", F.explode(probes))
 
     scored = (
-        c.join(q, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        # thin the multi-probe dedup exchange: cos_sim is deterministic
+        # per pair, so dropping vectors first changes nothing
+        .select("query_id", "corpus_id", "cos_sim")
         .dropDuplicates(["query_id", "corpus_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
@@ -212,7 +215,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
     n_corpus = corpus.count()  # parquet metadata count — no data scan
     train_src = corpus
     if n_corpus > max_train_rows:
@@ -223,32 +225,55 @@ def ivf_topk(
     train = train_src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     centers = [c.tolist() for c in km.clusterCenters()]
-    centers_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
-        )
-    )
+    # Centroids as ARRAY LITERALS: cell assignment is then a pure
+    # projection — no join, no explode, no window, ZERO exchange for the
+    # corpus side. The previous formulation broadcast-joined the corpus
+    # against the centroid table (n_cells x row multiplication) and took
+    # row_number over a Window.partitionBy(corpus_id) — a full shuffle of
+    # the expanded corpus to evaluate a per-row argmax (VERDICT r2 #2,
+    # the one remaining avoidable full shuffle in the repo).
+    centers_arr = [F.array(*[F.lit(float(x)) for x in c]) for c in centers]
 
     def assign(df, id_alias, vec_alias, top_cells):
-        scored = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-            .join(centers_df)
-            .withColumn("_d", cosine(F.col(vec_alias).cast("array<double>"), F.col("center")))
+        v = F.col(vec_alias).cast("array<double>")
+        base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+        if top_cells == 1:
+            # argmax = first position of the max score -> lowest cell on
+            # float ties, identical to the old desc(_d), asc(cell) order
+            scores = F.array(*[cosine(v, ca) for ca in centers_arr])
+            return base.withColumn("_scores", scores).select(
+                id_alias,
+                vec_alias,
+                (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1)
+                .cast("int")
+                .alias("cell"),
+            )
+        # top-n cells, still a projection: sort struct(-score, cell) asc
+        # == score desc, cell asc; slice n, explode the cell field
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct((-cosine(v, ca)).alias("neg"), F.lit(i).cast("int").alias("cell"))
+                    for i, ca in enumerate(centers_arr)
+                ]
+            )
         )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("_d"), F.asc("cell"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= top_cells)
-            .select(id_alias, vec_alias, "cell")
+        return base.withColumn("_top", F.slice(ranked, 1, top_cells)).select(
+            id_alias, vec_alias, F.explode(F.col("_top.cell")).alias("cell")
         )
 
     c = assign(corpus, "corpus_id", "c_vec", 1)
     q = assign(queries, "query_id", "q_vec", n_probe)
 
     scored = (
-        c.join(q, "cell")
+        # query side is small by construction (a query set, n_probe-
+        # exploded) — broadcast it so the corpus is never shuffled by cell
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")))
+        # project BEFORE dedup/window so the only exchanges in the plan
+        # move (query_id, corpus_id, cos_sim) — never the vectors
+        .select("query_id", "corpus_id", "cos_sim")
         .dropDuplicates(["query_id", "corpus_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))

@@ -117,3 +117,32 @@ def test_ivf_topk_recall(spark):
         assert recall_at_k(exact, approx, k=3) >= 0.8
     finally:
         df.unpersist()
+
+
+def test_ivf_corpus_assignment_is_projection_no_vector_exchange(spark):
+    """VERDICT r2 #2: IVF cell assignment must be a pure projection —
+    centroid array literals + argmax — so no Exchange anywhere in the
+    plan carries the embedding vectors (the old shape shuffled a
+    n_cells-x-expanded corpus through a per-id window)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyorchdb_spark.operators.similarity import ivf_topk
+
+    df = _vecs(spark, n=80).cache()
+    try:
+        plan_df = ivf_topk(df, df.limit(4), k=3, n_cells=8, n_probe=2)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            plan_df.explain("formatted")
+        txt = buf.getvalue()
+        blocks = [b for b in txt.split("\n\n") if b.strip()]
+        exchanges = [b for b in blocks if ") Exchange" in b.splitlines()[0]]
+        # corpus vectors (c_vec) must never ride an exchange; query-side
+        # exchanges (q_vec) are bounded by the query set — fine
+        for b in exchanges:
+            assert "c_vec" not in b, b
+        # and no window keyed by corpus_id (the old per-row argmax shape)
+        assert "windowspecdefinition(corpus_id" not in txt.lower()
+    finally:
+        df.unpersist()
