@@ -40,12 +40,16 @@ class ApplyResult:
 
 # C3 quarantine predicate: an event must carry a key, a sequence, and a
 # recognized op to be applicable; anything else goes to _rejects.
-def invalid_reason(keys=("repo", "path")):
+# ``watermark_seq``: the table's tombstone GC watermark — an event at or
+# below it violates the ingest contract (compaction already dropped
+# tombstones up to that seq) and MUST be quarantined, else a straggler
+# upsert could resurrect a key whose tombstone is gone.
+def invalid_reason(keys=("repo", "path"), watermark_seq: int | None = None):
     key_null = None
     for k in keys:
         cond = F.col(k).isNull() | (F.col(k) == "")
         key_null = cond if key_null is None else (key_null | cond)
-    return (
+    r = (
         F.when(key_null, F.lit("null_or_empty_key"))
         .when(F.col("seq").isNull(), F.lit("null_seq"))
         .when(
@@ -56,6 +60,9 @@ def invalid_reason(keys=("repo", "path")):
             F.lit("unknown_op"),
         )
     )
+    if watermark_seq is not None:
+        r = r.when(F.col("seq") <= F.lit(int(watermark_seq)), F.lit("below_watermark"))
+    return r
 
 
 def prepare_events(events: DataFrame, jvm_only: bool = False) -> DataFrame:
@@ -122,7 +129,9 @@ def apply_batch(
     # replays). MoR commits touch no base file, so they skip the hit aggs.
     m = lake.manifest()
     gens = [] if mor else LakeTable.bucket_gens(m)
-    reason = invalid_reason(lake.keys)
+    reason = invalid_reason(
+        lake.keys, watermark_seq=m.tombstone_watermark if m is not None else None
+    )
     metrics = ledger.collect_partition_metrics(
         prepared,
         invalid_reason=reason,
@@ -197,6 +206,7 @@ def replay(
     jvm_only_udfs: bool = False,
     mor: bool = False,
     mor_compact_factor: int = 8,
+    tombstone_lag_batches: int | None = None,
 ) -> list[ApplyResult]:
     """Batch-mode replay of a whole event log in batch_id order.
 
@@ -206,6 +216,15 @@ def replay(
     ``mor_compact_factor`` — amortized, the table is rewritten every K
     batches instead of every batch, turning per-batch write amplification
     from O(table) into O(table / K + batch).
+
+    ``tombstone_lag_batches``: opt-in tombstone GC. When set, each
+    self-compaction derives the ingest low-watermark from the lineage
+    history (``BatchLedger.low_watermark``) under the contract that
+    events arrive at most that many batches late, and physically drops
+    tombstones at or below it; arriving events at/below the recorded
+    watermark are quarantined (``below_watermark``), so a dropped
+    tombstone can never be resurrected. Default None retains every
+    tombstone (arbitrarily late events stay mergeable).
     """
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
@@ -228,7 +247,12 @@ def replay(
             m = lake.manifest()
             delta_commits = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})
             if delta_commits >= mor_compact_factor:
-                # retain ALL tombstones: mid-replay, arbitrarily late
-                # events may still arrive (no low-watermark yet)
-                lake.compact(tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES)
+                if tombstone_lag_batches is None:
+                    # retain ALL tombstones: arbitrarily late events may
+                    # still arrive (no disorder contract declared)
+                    wm = RETAIN_ALL_TOMBSTONES
+                else:
+                    lw = ledger.low_watermark(lag_batches=tombstone_lag_batches)
+                    wm = RETAIN_ALL_TOMBSTONES if lw is None else lw
+                lake.compact(tombstone_watermark_seq=wm)
     return results

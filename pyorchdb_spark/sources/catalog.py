@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 MARKER_SCHEMA = "batch_id string, version long, rows_in long, committed_at double"
 LINEAGE_SCHEMA = (
     "batch_id string, partition_id int, rows_in long, tombstones long, "
-    "max_seq long, table_rows_after long"
+    "max_seq long, table_rows_after long, min_seq long"
 )
 
 
@@ -105,6 +105,7 @@ class BatchLedger:
             F.count(F.lit(1)).alias("rows_in"),
             F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
             F.max(seq_col).alias("max_seq"),
+            F.min(seq_col).alias("min_seq"),
         ]
         if invalid_reason is not None:
             aggs.append(F.sum(invalid_reason.isNotNull().cast("long")).alias("n_invalid"))
@@ -149,6 +150,10 @@ class BatchLedger:
                 "table_rows_after": pa.array(
                     [int(table_rows_after)] * len(metrics_rows), pa.int64()
                 ),
+                "min_seq": pa.array(
+                    [None if r["min_seq"] is None else int(r["min_seq"]) for r in metrics_rows],
+                    pa.int64(),
+                ),
             }
         )
         pq.write_table(
@@ -161,6 +166,42 @@ class BatchLedger:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
         except Exception:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def low_watermark(self, lag_batches: int = 1) -> int | None:
+        """Ingest low-watermark: the seq below which no event can still
+        arrive, derived from the lineage max/min-seq history.
+
+        Contract (Kafka-compaction shape): an event may arrive at most
+        ``lag_batches`` batches after the batch whose seq range covers it.
+        The watermark is then the max_seq of the newest batch that is
+        ``lag_batches`` behind the head — lowered further if a straggler
+        already OBSERVED in the lag window undercuts it (auto-correcting
+        for disorder worse than assumed). Tombstones with
+        ``seq <= low_watermark()`` are GC-safe (``LakeTable.compact``),
+        and the ingest path quarantines any arriving event at or below
+        the table's recorded watermark so a GC'd tombstone can never be
+        resurrected. Returns None while fewer than ``lag_batches + 1``
+        batches have committed (retain everything).
+
+        One tiny agg over the lineage table (rows ∝ batches x partitions,
+        collected as one row per batch) — driver metadata scale."""
+        rows = sorted(
+            self.lineage()
+            .groupBy("batch_id")
+            .agg(F.max("max_seq").alias("mx"), F.min("min_seq").alias("mn"))
+            .collect(),
+            key=lambda r: r["batch_id"],
+        )
+        if len(rows) <= lag_batches:
+            return None
+        maxes = [r["mx"] for r in rows[: len(rows) - lag_batches] if r["mx"] is not None]
+        if not maxes:
+            return None
+        w = max(maxes)
+        lag_mins = [r["mn"] for r in rows[len(rows) - lag_batches:] if r["mn"] is not None]
+        if lag_mins:
+            w = min(w, min(lag_mins) - 1)
+        return int(w)
 
     # ---------- quarantine (C3: error-row removal, reborn) ----------
     # The reference silently drops whole tables that fail processing

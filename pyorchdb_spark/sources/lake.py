@@ -96,6 +96,10 @@ class Manifest:
     schema_json: str
     files: list[dict] = field(default_factory=list)
     n_buckets: int | None = None  # current write generation (max file nb)
+    # highest seq whose tombstones have been GC'd (compact with a
+    # low-watermark); ingest quarantines events with seq <= this, so a
+    # dropped tombstone can never be resurrected by a straggler
+    tombstone_watermark: int | None = None
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -108,6 +112,7 @@ class Manifest:
                 "batch_id": self.batch_id,
                 "schema": json.loads(self.schema_json),
                 "n_buckets": self.n_buckets,
+                "tombstone_watermark": self.tombstone_watermark,
                 "files": self.files,
             }
         )
@@ -122,6 +127,7 @@ class Manifest:
             schema_json=json.dumps(d["schema"]),
             files=d["files"],
             n_buckets=d.get("n_buckets"),
+            tombstone_watermark=d.get("tombstone_watermark"),
         )
 
 
@@ -506,6 +512,7 @@ class LakeTable:
             schema_json=json.dumps(new_schema.jsonValue()),
             files=sorted(untouched + new_files, key=lambda f: f["path"]),
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            tombstone_watermark=m.tombstone_watermark if m else None,
         )
         try:
             self._publish(manifest)
@@ -552,6 +559,7 @@ class LakeTable:
             schema_json=json.dumps(new_schema.jsonValue()),
             files=sorted(m.files + new_files, key=lambda f: f["path"]),
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            tombstone_watermark=m.tombstone_watermark,
         )
         try:
             self._publish(manifest)
@@ -582,6 +590,7 @@ class LakeTable:
             schema_json=json.dumps(df.schema.jsonValue()),
             files=new_files,
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            tombstone_watermark=m.tombstone_watermark if m else None,
         )
         try:
             self._publish(manifest)
@@ -597,9 +606,16 @@ class LakeTable:
 
         A tombstone with ``seq <= tombstone_watermark_seq`` can be dropped
         once the ingest low-watermark guarantees no event with a lower seq
-        can still arrive (Kafka-compaction contract). With no watermark,
-        all tombstones are dropped (safe only after the log is fully
+        can still arrive (Kafka-compaction contract; derive the watermark
+        with ``BatchLedger.low_watermark``). With no watermark, all
+        tombstones are dropped (safe only after the log is fully
         replayed).
+
+        The effective watermark is recorded in the manifest
+        (``tombstone_watermark``, monotone non-decreasing); the ingest
+        path quarantines events with ``seq <=`` that value, which is what
+        makes the GC safe — a straggler below the watermark can never
+        resurrect a key whose tombstone was dropped here.
         """
         m = self.manifest()
         if m is None:
@@ -613,6 +629,11 @@ class LakeTable:
         version = m.version + 1
         n_buckets = num_files or m.n_buckets or self._initial_buckets(None, None)
         new_files = self._write_data_files(df, version, n_buckets)
+        prev_wm = m.tombstone_watermark
+        if tombstone_watermark_seq is None or tombstone_watermark_seq == RETAIN_ALL_TOMBSTONES:
+            new_wm = prev_wm  # retain-all / full-log compaction: no new gate
+        else:
+            new_wm = max(prev_wm, tombstone_watermark_seq) if prev_wm is not None else tombstone_watermark_seq
         manifest = Manifest(
             version=version,
             parent=m.version,
@@ -620,6 +641,7 @@ class LakeTable:
             schema_json=m.schema_json,
             files=new_files,
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            tombstone_watermark=new_wm,
         )
         try:
             self._publish(manifest)

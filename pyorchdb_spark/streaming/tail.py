@@ -53,6 +53,7 @@ def tail_events(
     available_now: bool = True,
     mor: bool = False,
     mor_compact_factor: int = 8,
+    tombstone_lag_batches: int | None = None,
 ) -> StreamingQuery:
     """Start the tail; returns the query (caller awaits termination).
 
@@ -60,6 +61,10 @@ def tail_events(
     (write cost proportional to the micro-batch — the right shape for a
     high-frequency tail); the sink self-compacts once delta commits reach
     ``mor_compact_factor``, same policy as batch replay.
+
+    ``tombstone_lag_batches``: opt-in tombstone GC at compaction time
+    (see ``ingest.replay`` — low-watermark from the lineage history;
+    below-watermark stragglers are quarantined, never merged).
     """
     # NOTE: the event log is written partitionBy("batch_id"); the file
     # source discovers the partition column as long as it appears in the
@@ -93,7 +98,12 @@ def tail_events(
                 if n_delta >= mor_compact_factor:
                     from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES
 
-                    lake.compact(tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES)
+                    wm = RETAIN_ALL_TOMBSTONES
+                    if tombstone_lag_batches is not None:
+                        lw = ledger.low_watermark(lag_batches=tombstone_lag_batches)
+                        if lw is not None:
+                            wm = lw
+                    lake.compact(tombstone_watermark_seq=wm)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

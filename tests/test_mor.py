@@ -122,3 +122,108 @@ def test_mor_schema_evolution_and_self_compaction(spark, tmp_path):
     cow_root = str(tmp_path / "cow")
     replay(LakeTable(spark, cow_root), BatchLedger(spark, cow_root), ev, num_files=4)
     assert _sig(lake.snapshot()) == _sig(LakeTable(spark, cow_root).snapshot())
+
+
+def _one_event(ev, repo, path, seq, op, content, batch_id, lang="py"):
+    return ev.limit(1).select(
+        F.lit(repo).alias("repo"),
+        F.lit(path).alias("path"),
+        F.lit(f"c{seq}").alias("commit"),
+        F.lit(seq).cast("long").alias("seq"),
+        F.lit(op).alias("op"),
+        F.lit(lang).alias("lang"),
+        F.lit(content).alias("content"),
+        F.lit(batch_id).alias("batch_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(None).cast("string").alias("lang_variant"),
+    )
+
+
+def test_tombstone_gc_watermark_drops_dead_keys_and_blocks_stragglers(spark, tmp_path):
+    """VERDICT r2 #4: with an opt-in disorder contract
+    (tombstone_lag_batches), compaction derives a low-watermark from the
+    lineage history and PHYSICALLY drops tombstones at or below it; an
+    out-of-order upsert below the recorded watermark is quarantined
+    (below_watermark), so the vanished tombstone can never be
+    resurrected."""
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 2_000, batch_size=1_000)
+    # mor_compact_factor=1 -> compact after every delta commit;
+    # lag=1 -> watermark trails the head batch by one
+    replay(lake, ledger, ev, num_files=2, mor=True, mor_compact_factor=1,
+           tombstone_lag_batches=1)
+
+    m = lake.manifest()
+    assert m.tombstone_watermark is not None
+    wm = m.tombstone_watermark
+    lw = ledger.low_watermark(lag_batches=1)
+    assert lw == wm
+
+    # every tombstone at or below the watermark is physically gone
+    stored = lake.snapshot(include_tombstones=True)
+    assert stored.filter((F.col("op") == "delete") & (F.col("seq") <= wm)).count() == 0
+    # the GC actually dropped something: the un-gated replay keeps them
+    root2 = str(tmp_path / "ref")
+    lake2, ledger2 = LakeTable(spark, root2), BatchLedger(spark, root2)
+    replay(lake2, ledger2, ev, num_files=2, mor=True, mor_compact_factor=1)
+    kept = (
+        lake2.snapshot(include_tombstones=True)
+        .filter((F.col("op") == "delete") & (F.col("seq") <= wm))
+        .count()
+    )
+    assert kept > 0
+    # live state identical with and without GC (GC only removes markers)
+    assert _sig(lake.snapshot()) == _sig(lake2.snapshot())
+
+    # pick a key deleted at seq <= wm in the reference table; its
+    # tombstone is GC'd in `lake`. A straggler upsert BELOW the watermark
+    # must be quarantined, not merged.
+    dead = (
+        lake2.snapshot(include_tombstones=True)
+        .filter((F.col("op") == "delete") & (F.col("seq") <= wm))
+        .first()
+    )
+    late = _one_event(ev, dead.repo, dead.path, max(dead.seq - 1, 0), "upsert",
+                      "resurrect attempt", "zlate", lang=dead.lang)
+    res = replay(lake, ledger, late, num_files=2, mor=True)
+    assert res[0].rows_rejected == 1
+    live = lake.snapshot().filter(
+        (F.col("repo") == dead.repo) & (F.col("path") == dead.path)
+    )
+    assert live.count() == 0  # not resurrected
+    reasons = {r["reject_reason"] for r in ledger.rejects().collect()}
+    assert "below_watermark" in reasons
+
+    # an event ABOVE the watermark for the same key merges normally
+    fresh = _one_event(ev, dead.repo, dead.path, wm + 10_000, "upsert",
+                       "legit recreate", "zfresh", lang=dead.lang)
+    replay(lake, ledger, fresh, num_files=2, mor=True)
+    assert lake.snapshot().filter(
+        (F.col("repo") == dead.repo) & (F.col("path") == dead.path)
+    ).count() == 1
+
+
+def test_low_watermark_derivation(spark, tmp_path):
+    """low_watermark = max_seq of the batch lag_batches behind the head,
+    lowered by any observed straggler in the lag window; None until
+    enough batches committed."""
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    assert ledger.low_watermark() is None
+
+    ev = change_events(spark, 3_000, batch_size=1_000)
+    replay(lake, ledger, ev, num_files=2)
+    lin = ledger.lineage().groupBy("batch_id").agg(
+        F.max("max_seq").alias("mx"), F.min("min_seq").alias("mn")
+    ).collect()
+    by_batch = {r["batch_id"]: r for r in lin}
+    batches = sorted(by_batch)
+    assert len(batches) == 3
+
+    expected = max(by_batch[b]["mx"] for b in batches[:-1])
+    head_min = by_batch[batches[-1]]["mn"]
+    if head_min is not None:
+        expected = min(expected, head_min - 1)
+    assert ledger.low_watermark(lag_batches=1) == expected
+    assert ledger.low_watermark(lag_batches=3) is None
