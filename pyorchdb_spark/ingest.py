@@ -254,5 +254,7 @@ def replay(
                 else:
                     lw = ledger.low_watermark(lag_batches=tombstone_lag_batches)
                     wm = RETAIN_ALL_TOMBSTONES if lw is None else lw
-                lake.compact(tombstone_watermark_seq=wm)
+                # partial: rewrite only bucket groups whose delta backlog
+                # exceeds the bounds; cold buckets keep their base files
+                lake.compact_partial(tombstone_watermark_seq=wm)
     return results

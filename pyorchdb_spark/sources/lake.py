@@ -650,6 +650,110 @@ class LakeTable:
             raise
         return manifest
 
+    def compact_partial(
+        self,
+        delta_fraction: float = 0.125,
+        max_delta_files_per_group: int = 8,
+        tombstone_watermark_seq: int | None = None,
+    ) -> Manifest:
+        """Compact only bucket groups whose delta backlog exceeds a bound
+        — the Iceberg/Hudi file-group shape (VERDICT r2 #5).
+
+        Full ``compact`` rewrites the whole table; at the 10^10-row design
+        point that stalls the tail for hours even when one hot bucket
+        holds all the deltas. This rewrites a bucket group only when
+
+        - its delta rows exceed ``delta_fraction`` of the group, OR
+        - its delta FILE count exceeds ``max_delta_files_per_group``
+          (read-amplification bound: every delta file is an extra open
+          at snapshot time even if it holds 3 rows),
+
+        everything decided by pure manifest arithmetic (per-file rows /
+        bucket / nb — zero table scan). Untouched base files keep their
+        PATHS: time travel, vacuum and concurrent readers see them
+        byte-identical.
+
+        Grouping: files are grouped by ``bucket % g_min`` with ``g_min``
+        the coarsest generation in the manifest — generations are nested
+        powers of two, so two files can only share keys within one such
+        class; at steady state (one generation) a group is exactly one
+        bucket. Selected groups are read together, LWW-resolved once, and
+        rewritten at the current top generation (in-commit splitting
+        still applies). Tombstone retention follows ``compact``'s
+        watermark rules, and the manifest watermark advances the same way.
+
+        Returns the current manifest unchanged (no new version) when no
+        group exceeds the bounds. Falls back to full ``compact`` when the
+        manifest contains files without bucket identity (foreign imports
+        — no way to bound their key range).
+        """
+        m = self.manifest()
+        if m is None:
+            raise ValueError("nothing to compact")
+        if not any(f.get("delta") for f in m.files):
+            return m
+        if any(f.get("bucket") is None or not f.get("nb") for f in m.files):
+            return self.compact(tombstone_watermark_seq=tombstone_watermark_seq)
+
+        g_min = min(f["nb"] for f in m.files)
+        groups: dict[int, list[dict]] = {}
+        for f in m.files:
+            groups.setdefault(f["bucket"] % g_min, []).append(f)
+
+        selected: list[dict] = []
+        for fs in groups.values():
+            deltas = [f for f in fs if f.get("delta")]
+            if not deltas:
+                continue
+            total = sum(f["rows"] for f in fs)
+            if (
+                sum(f["rows"] for f in deltas) > delta_fraction * total
+                or len(deltas) > max_delta_files_per_group
+            ):
+                selected.extend(fs)
+        if not selected:
+            return m
+
+        from pyorchdb_spark.operators.dedup import lww_dedup
+
+        df = lww_dedup(
+            self.spark.read.schema(m.schema()).parquet(
+                *[os.path.join(self.root, f["path"]) for f in selected]
+            ),
+            keys=self.keys,
+        )
+        if "op" in df.columns:
+            keep = F.col("op") != "delete"
+            if tombstone_watermark_seq is not None:
+                keep = keep | (F.col("seq") > tombstone_watermark_seq)
+            df = df.filter(keep)
+
+        version = m.version + 1
+        n_buckets = m.n_buckets or self._initial_buckets(None, None)
+        new_files = self._write_data_files(df, version, n_buckets)
+        selected_paths = {f["path"] for f in selected}
+        untouched = [f for f in m.files if f["path"] not in selected_paths]
+        prev_wm = m.tombstone_watermark
+        if tombstone_watermark_seq is None or tombstone_watermark_seq == RETAIN_ALL_TOMBSTONES:
+            new_wm = prev_wm
+        else:
+            new_wm = max(prev_wm, tombstone_watermark_seq) if prev_wm is not None else tombstone_watermark_seq
+        manifest = Manifest(
+            version=version,
+            parent=m.version,
+            batch_id=f"compact-{version}-partial",
+            schema_json=m.schema_json,
+            files=sorted(untouched + new_files, key=lambda f: f["path"]),
+            n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            tombstone_watermark=new_wm,
+        )
+        try:
+            self._publish(manifest)
+        except ConcurrentCommitError:
+            self._remove_orphans(new_files)
+            raise
+        return manifest
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests (time-travel GC). Returns deleted relative paths."""

@@ -103,7 +103,7 @@ def tail_events(
                         lw = ledger.low_watermark(lag_batches=tombstone_lag_batches)
                         if lw is not None:
                             wm = lw
-                    lake.compact(tombstone_watermark_seq=wm)
+                    lake.compact_partial(tombstone_watermark_seq=wm)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -227,3 +227,82 @@ def test_low_watermark_derivation(spark, tmp_path):
         expected = min(expected, head_min - 1)
     assert ledger.low_watermark(lag_batches=1) == expected
     assert ledger.low_watermark(lag_batches=3) is None
+
+
+def test_partial_compaction_rewrites_only_hot_groups(spark, tmp_path):
+    """VERDICT r2 #5: compact_partial folds only bucket groups whose
+    delta backlog exceeds the bounds; cold base files keep their paths
+    BYTE-identically, and resolved state matches a full compaction."""
+    import hashlib
+
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 4_000, batch_size=4_000)
+    replay(lake, ledger, ev, num_files=8, mor=True)  # base at 8 buckets
+    m0 = lake.manifest()
+    sig_full = _sig(lake.snapshot())
+
+    # a tiny delta touching exactly ONE existing key -> one hot group
+    one = lake.snapshot().orderBy("repo", "path").limit(1).collect()[0]
+    from pyorchdb_spark.ingest import apply_batch
+
+    apply_batch(lake, ledger, _one_event(ev, one.repo, one.path, 10_000_000,
+                                         "upsert", "hot!", "zhot", lang=one.lang),
+                "zhot", mor=True)
+    m1 = lake.manifest()
+    delta_files = [f for f in m1.files if f.get("delta")]
+    assert delta_files
+    hot_buckets = {f["bucket"] % 8 for f in delta_files}
+
+    def sha(relpath):
+        with open(os.path.join(root, relpath), "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+
+    cold_before = {
+        f["path"]: sha(f["path"])
+        for f in m1.files
+        if not f.get("delta") and f["bucket"] % 8 not in hot_buckets
+    }
+
+    # delta_fraction=0: any group with a delta exceeds -> the hot group
+    # is selected while delta-free groups stay untouched
+    m2 = lake.compact_partial(
+        delta_fraction=0.0, tombstone_watermark_seq=RETAIN_ALL_TOMBSTONES
+    )
+    assert m2.version == m1.version + 1
+    assert not any(f.get("delta") for f in m2.files)  # hot group folded
+    # cold base files: same paths, same bytes
+    paths_after = {f["path"] for f in m2.files}
+    for p, h in cold_before.items():
+        assert p in paths_after and sha(p) == h
+    # only the hot group was rewritten
+    rewritten = paths_after - {f["path"] for f in m1.files}
+    assert all(f"commit-{m2.version:08d}" in p for p in rewritten)
+    assert {int(p.split("_bucket=")[1].split("/")[0]) % 8 for p in rewritten} <= hot_buckets
+
+    # resolved state identical to pre-compaction and carries the patch
+    sig_after = _sig(lake.snapshot())
+    assert sig_after != sig_full  # the patch is visible
+    got = lake.snapshot().filter(
+        (F.col("repo") == one.repo) & (F.col("path") == one.path)
+    ).collect()
+    assert len(got) == 1 and got[0]["content"] == "hot!"
+
+
+def test_partial_compaction_noop_below_bounds(spark, tmp_path):
+    """A delta backlog below both bounds publishes NO new version."""
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 4_000, batch_size=4_000)
+    replay(lake, ledger, ev, num_files=8, mor=True)
+    one = lake.snapshot().orderBy("repo", "path").limit(1).collect()[0]
+    from pyorchdb_spark.ingest import apply_batch
+
+    apply_batch(lake, ledger, _one_event(ev, one.repo, one.path, 10_000_000,
+                                         "upsert", "tiny", "ztiny", lang=one.lang),
+                "ztiny", mor=True)
+    v = lake.manifest().version
+    # fraction bound huge, file bound high -> nothing exceeds
+    m = lake.compact_partial(delta_fraction=0.99, max_delta_files_per_group=100)
+    assert m.version == v  # unchanged manifest returned
+    assert any(f.get("delta") for f in m.files)
