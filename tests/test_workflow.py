@@ -141,3 +141,47 @@ def test_clean_string_values(spark):
     assert out[1]["s"] == "cafe con leche"
     assert out[2]["s"] == "nandu veloz"
     assert out[1]["x"] == 2.5
+
+
+def test_standalone_upload_without_build(spark, tmp_path):
+    """Reference scenario E3 (main.py:250-255, README Scenario 2/3):
+    upload() straight after a restart — build() never ran in this
+    process — self-derives the table set from the load() output
+    directory and produces the same lake state as the full flow."""
+    paths = _write_messy_csvs(tmp_path)
+    wf = ETLWorkflow(spark, WorkflowConfig(columns_to_rename={"qty": "quantity"}))
+    wf.build(paths).curate()
+    processed = str(tmp_path / "processed")
+    wf.load(processed)
+    rows_full = wf.upload(str(tmp_path / "lake_full"), keys=["product_name", "periodo"])
+
+    # fresh process: no build, no in-memory tables
+    wf2 = ETLWorkflow(spark)
+    assert wf2.tables == {}
+    import pytest
+
+    with pytest.raises(ValueError, match="processed_dir"):
+        wf2.upload(str(tmp_path / "lake_standalone"), keys=["product_name", "periodo"])
+
+    rows_standalone = wf2.upload(
+        str(tmp_path / "lake_standalone"),
+        keys=["product_name", "periodo"],
+        processed_dir=processed,
+    )
+    assert rows_standalone == rows_full
+
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    full = LakeTable(spark, str(tmp_path / "lake_full" / "sales_feb"),
+                     keys=("product_name", "periodo")).snapshot()
+    alone = LakeTable(spark, str(tmp_path / "lake_standalone" / "sales_feb"),
+                      keys=("product_name", "periodo")).snapshot()
+    cols = sorted(set(full.columns) & set(alone.columns))
+    assert sorted(map(tuple, full.select(*cols).fillna("<n>").collect())) == \
+           sorted(map(tuple, alone.select(*cols).fillna("<n>").collect()))
+
+    # idempotent: standalone re-upload skips committed batches, counts
+    # served from manifest arithmetic
+    assert wf2.upload(str(tmp_path / "lake_standalone"),
+                      keys=["product_name", "periodo"],
+                      processed_dir=processed) == rows_full
