@@ -6,6 +6,19 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus engine extras (cdc replay
 events/sec).
 
+Bench hygiene (VERDICT r2 #3 — rounds must be comparable on a noisy
+shared host, ±30-130% run-to-run):
+
+- every headline query runs N_RUNS (default 3) times, INTERLEAVED
+  round-robin so a noise burst hits all queries equally; ``queries``
+  reports the per-query MIN (closest to the machine's capability),
+  ``queries_all`` carries every sample;
+- a no-Spark substrate probe (multiprocess sha256 + streaming-memcpy,
+  same code as BENCH/run_scaling.py) runs before and after the query
+  block; its fields in the output let a judge noise-normalize any
+  cross-round comparison (engine_sec_ratio ~ probe_ratio => host noise,
+  not a code change).
+
 The CDC replay input is generated once per (n_events) into
 .bench_data/ and reused byte-identically across runs and parallelism
 levels (SURVEY.md section 7, hard part 5).
@@ -13,7 +26,9 @@ levels (SURVEY.md section 7, hard part 5).
 
 from __future__ import annotations
 
+import hashlib
 import json
+import multiprocessing as mp
 import os
 import shutil
 import sys
@@ -24,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "300000"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -31,6 +47,41 @@ def _force(df) -> int:
     """Fully execute a plan without driver-side materialization."""
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+# ---- no-Spark substrate probes (shared shape with BENCH/run_scaling.py) ----
+
+def _burn(args):
+    (n_hashes,) = args
+    h = b"x" * 256
+    for _ in range(n_hashes):
+        h = hashlib.sha256(h).digest() + b"pad" * 80
+        h = h[:256]
+    return n_hashes
+
+
+def _memburn(iters):
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024 // 8)  # 64 MiB working set >> LLC
+    b = np.empty_like(a)
+    for _ in range(iters):
+        np.copyto(b, a)
+    return iters
+
+
+def substrate_probe(n_procs: int) -> dict:
+    """What the box itself delivers right now, no Spark/JVM: cache-bound
+    sha256 hashes/sec and memory-bound streaming-copy GB/s."""
+    t0 = time.time()
+    with mp.Pool(n_procs) as pool:
+        total = sum(pool.map(_burn, [(150_000,)] * n_procs))
+    cpu = total / (time.time() - t0)
+    t0 = time.time()
+    with mp.Pool(n_procs) as pool:
+        pool.map(_memburn, [12] * n_procs)
+    gb = n_procs * 12 * 64 * 2 / 1024
+    return {"cpu_hashes_per_sec": round(cpu), "mem_gb_per_sec": round(gb / (time.time() - t0), 1)}
 
 
 def main() -> None:
@@ -61,11 +112,19 @@ def main() -> None:
         "events_rollup",
     ]
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        _force(q[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    probe_before = substrate_probe(CPUS)
+
+    # interleaved rounds: one sample of every query per round, so a host
+    # noise burst lands on all queries instead of whichever ran during it
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(N_RUNS):
+        for name in headline:
+            t0 = time.time()
+            _force(q[name](spark, SF_DIR))
+            samples[name].append(round(time.time() - t0, 3))
+    timings: dict[str, float] = {name: min(s) for name, s in samples.items()}
+
+    probe_after = substrate_probe(CPUS)
 
     # --- CDC replay throughput (the BASELINE.json headline metric) ---
     from pyorchdb_spark.generator import change_events, write_events
@@ -112,6 +171,10 @@ def main() -> None:
                 "cdc_replay_events_per_sec": round(n_rows / replay_sec, 1),
                 "cdc_replay_events_per_sec_by_strategy": replay_stats,
                 "cpus": CPUS,
+                "n_runs": N_RUNS,
+                "queries_all": samples,
+                "substrate_probe_before": probe_before,
+                "substrate_probe_after": probe_after,
             }
         )
     )

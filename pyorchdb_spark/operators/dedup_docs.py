@@ -66,17 +66,25 @@ def _tokens(text_col: str):
 
 
 def word_ngrams(text_col: str, n: int = 3):
-    """n-word shingles as an array column, built-in exprs only."""
+    """n-word shingles as an array column, built-in exprs only.
+
+    Token-less docs (empty/whitespace text) yield NULL, not an empty
+    array: NULL propagates cleanly through the minhash fold (null
+    signature -> dropped before banding) without any ``when`` guard that
+    would re-reference (and re-inline — Catalyst collapses projections
+    even around non-cheap producers) the shingle build."""
     toks = _tokens(text_col)
     if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+        grams = F.array_distinct(toks)
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+    return F.when(F.size(toks) > 0, grams).otherwise(F.lit(None))
 
 
 # ---------- exact n-gram Jaccard (blocked) ----------
@@ -222,17 +230,20 @@ def minhash_signature(grams_col, num_hashes: int = 32):
     references it, so the k-transform form recomputes the n-gram build
     k times — measured 20x slower at sf0.1 (102s -> 5.6s for k=32).
     For NON-EMPTY gram arrays, element i is min over grams of
-    xxhash64(gram, i) — identical to the naive form. An EMPTY array has
-    no minhash (the naive form gave all-null, the fold would give the
-    all-MAX_LONG init sentinel); we return NULL so empty/short docs don't
-    all share one sentinel signature and band-collide as LSH candidates —
-    callers must drop null signatures before banding (their Jaccard
-    against anything is 0/undefined, so no qualifying pair is lost for
-    any threshold > 0).
+    xxhash64(gram, i) — identical to the naive form. A NULL gram array
+    (``word_ngrams`` of a token-less doc) propagates to a NULL signature
+    — higher-order functions are null-in/null-out — so empty/short docs
+    never share one sentinel signature that band-collides them all as
+    LSH candidates (ADVICE r2); callers drop/ignore null signatures
+    (their Jaccard against anything is 0/undefined, so no qualifying
+    pair is lost for any threshold > 0). Null propagation instead of a
+    ``when(size>0, ...)`` guard is deliberate: the guard would reference
+    ``grams_col`` twice and Catalyst inlines duplicated subtrees through
+    projection boundaries — the shingle build would run twice per row.
     """
     max_long = (1 << 63) - 1
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
-    agg = F.aggregate(
+    return F.aggregate(
         grams_col,
         init,
         lambda acc, g: F.zip_with(
@@ -241,11 +252,6 @@ def minhash_signature(grams_col, num_hashes: int = 32):
             lambda a, b: F.least(a, b),
         ),
     )
-    # size() is O(1) on a bound array column; when grams_col is a column
-    # REFERENCE (see call sites) the expensive shingle build is not
-    # duplicated — CollapseProject keeps non-cheap producers referenced
-    # more than once in their own projection.
-    return F.when(F.size(grams_col) > 0, agg).otherwise(F.lit(None))
 
 
 def minhash_lsh_pairs(
@@ -280,6 +286,45 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_bucket_array(grams_col, num_hashes: int = 32, bands: int = 16):
+    """Per-doc array of LSH band buckets, computed in ONE expression.
+
+    bucket[b] = xxhash64(",".join(mh[b*r : (b+1)*r])) with mh the minhash
+    signature — bit-identical to hashing each band of
+    ``minhash_signature`` separately. The band hashes live in the
+    aggregate's FINISH lambda, where the accumulator is a bound variable:
+    referencing ``acc`` 2*bands times costs 2*bands array lookups, not
+    2*bands re-evaluations. Expressing this as a separate projection over
+    the signature column does NOT work: Catalyst collapses projections
+    even when the producer is non-cheap and multiply-referenced, so the
+    whole minhash fold was re-inlined into every band reference — the
+    signature ran 32x per row (measured 12.5s warm at sf0.1 for 5,000
+    docs; ~1s with this form). NULL grams (token-less docs) propagate to
+    a NULL bucket array.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        grams_col,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(g, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+        lambda acc: F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(",", *[acc[bi * r + j].cast("string") for j in range(r)])
+                )
+                for bi in range(bands)
+            ]
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -295,35 +340,34 @@ def minhash_lsh_candidates(
     bands x 24 bytes per doc instead of bands x the document content
     (VERDICT round 1, wrong #2: ~16x corpus content through the shuffle).
     Gram arrays are joined back per-candidate for the exact verify.
+
+    The whole per-doc pipeline (shingles -> minhash fold -> band bucket
+    hashes) is ONE ``minhash_bucket_array`` expression (see its docstring
+    for why a multi-projection form recomputes the fold 32x), and the
+    tiny (id, bkts) projection — 8 + 8*bands bytes per doc — is lazily
+    ``localCheckpoint``ed: the optimizer otherwise pushes the Generate's
+    inferred ``size(bkts) > 0`` filter below the projection, re-inlining
+    the fold into the filter (3 evaluations/row), and the self-join would
+    evaluate the whole chain once per side besides. With the barrier the
+    corpus is scanned and hashed exactly ONCE per call (measured 12.5s ->
+    ~1s warm for the banding stage at sf0.1). On a real cluster this
+    materialization is the standard "write the signatures" step of every
+    LSH pipeline; its size is signatures, never documents.
+    ``posexplode`` of a NULL bucket array (token-less docs) emits no
+    rows, so shingle-less docs never become candidates. Band id == array
+    position.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # spread signature computation across cores (input may be few files);
-    # grams materialized in their own projection so the null-guard in
-    # minhash_signature (which references the column twice) doesn't
-    # duplicate the shingle build; null signatures = shingle-less docs,
-    # dropped before banding (see minhash_signature docstring)
+    # spread signature computation across cores (input may be few files)
     sig = (
         _spread_small_input(docs, n_parts)
-        .select(F.col(id_col).alias("id"), word_ngrams(text_col, n).alias("grams"))
-        .select("id", minhash_signature(F.col("grams"), num_hashes).alias("mh"))
-        .filter(F.col("mh").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_bucket_array(word_ngrams(text_col, n), num_hashes, bands).alias("bkts"),
+        )
+        .localCheckpoint(eager=False)
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("mh")[bi * r + j].cast("string") for j in range(r)])).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = sig.select("id", F.posexplode("bkts").alias("band", "bucket"))
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
