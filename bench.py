@@ -143,17 +143,23 @@ def main() -> None:
     # section 4): plain window dedup vs salted two-stage, and copy-on-write
     # vs merge-on-read delta commits.
     replay_stats = {}
+    n_replay_runs = int(os.environ.get("SPARK_GRAFT_BENCH_REPLAY_RUNS", "2"))
     for label, salted, mor in (
         ("cdc_replay", False, False),
         ("cdc_replay_salted", True, False),
         ("cdc_replay_mor", False, True),
     ):
-        work = os.path.join(REPO, ".bench_work", label)
-        shutil.rmtree(work, ignore_errors=True)
-        lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
-        t0 = time.time()
-        replay(lake, ledger, events, salted=salted, mor=mor)
-        sec = round(time.time() - t0, 3)
+        runs = []
+        for i in range(n_replay_runs):
+            work = os.path.join(REPO, ".bench_work", f"{label}_{i}")
+            shutil.rmtree(work, ignore_errors=True)
+            lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
+            t0 = time.time()
+            replay(lake, ledger, events, salted=salted, mor=mor)
+            runs.append(round(time.time() - t0, 3))
+            shutil.rmtree(work, ignore_errors=True)
+        sec = min(runs)  # same min-of-n policy as the headline queries
+        samples[label] = runs
         timings[label] = sec
         replay_stats[label] = round(n_rows / sec, 1)
     replay_sec = timings["cdc_replay"]

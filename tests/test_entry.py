@@ -91,3 +91,18 @@ def test_analytics_plan_shapes(spark):
     assert len(scan.group(1).split(",")) <= 6
     # shipdate predicate pushed below the aggregation into the scan
     assert "l_shipdate" in scan.group(2)
+
+    # q6: every predicate reaches the lineitem scan; only 4 columns read
+    q6 = entrymod.q6_forecast_revenue(spark, sf)
+    plan6 = q6._jdf.queryExecution().executedPlan().toString()
+    scan6 = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*DataFilters: \[([^\]]*)\]", plan6)
+    assert scan6, plan6
+    assert len(scan6.group(1).split(",")) <= 4
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in scan6.group(2)
+
+    # q4: the EXISTS is planned as a semi join, never a cartesian/NLJ
+    q4 = entrymod.q4_order_priority(spark, sf)
+    plan4 = q4._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan4
+    assert "Cartesian" not in plan4
