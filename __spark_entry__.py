@@ -511,6 +511,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/IPv4/phone -> typed tokens) over doc text.
+    The synthetic corpus carries no PII, so each doc's text is salted
+    with deterministic doc_id-derived PII first — both engines derive
+    the identical input, so the oracle exercises every pattern on every
+    row (functions/text.scrub_pii; pure regexp_replace chain, no UDF)."""
+    from pyorchdb_spark.functions.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".17"),
+        F.lit(" call +1 555 0198 "), F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", scrub_pii(salted).alias("clean_text"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every training doc
+    against the held-out 'benchmark' slice (doc_id % 20 == 0) —
+    operators/dedup_docs.ngram_contamination."""
+    from pyorchdb_spark.operators.dedup_docs import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, bench, n=3).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_contaminated",
+        F.round("contamination", 9).alias("contamination"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -675,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_groups": q_dedup_minhash_groups,
         "dedup_simhash": q_dedup_simhash,
+        "scrub_pii": q_scrub_pii,
+        "decontaminate": q_decontaminate,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
@@ -934,6 +969,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    min(doc_id) AS rep_id
             FROM documents GROUP BY sha256(text)
+        """,
+        "scrub_pii": r"""
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                         || ' call +1 555 0198 ' || CAST(doc_id AS VARCHAR),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+?\b\d[\d \-()]{7,}\d\b', '<PHONE>', 'g') AS clean_text
+            FROM documents
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_SHINGLES3}) AS gram
+              FROM documents WHERE doc_id % 20 = 0 AND len({_TOKENS}) > 0
+            ),
+            doc_grams AS (
+              SELECT doc_id, unnest({_SHINGLES3}) AS gram
+              FROM documents WHERE doc_id % 20 <> 0 AND len({_TOKENS}) > 0
+            )
+            SELECT d.doc_id, count(*) AS n_grams,
+                   CAST(count(b.gram) AS BIGINT) AS n_contaminated,
+                   round(CAST(count(b.gram) AS DOUBLE) / count(*), 9) AS contamination
+            FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
+            GROUP BY d.doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH sig AS (

@@ -130,3 +130,36 @@ def winnow_fingerprint(s: pd.Series) -> pd.Series:
         return int(hashes.min() >> np.uint64(1))  # fit signed int64
 
     return s.map(one)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — training-data redaction pass (engine extension; the
+# reference has no text-content ops, its cleaning is cell-level
+# accent/case normalization, PyOrchDB clean_db / LightCleaner).
+# ---------------------------------------------------------------------------
+
+# Patterns kept in the common RE2/Java subset (no backreferences, no
+# lookaround) so the Spark plan and a DuckDB/RE2 oracle agree exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email first: its local part would otherwise be chewed by the phone
+    # pattern's digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 before phone (dotted quads are digit runs too)
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # international-ish phone: +CC or bare, digits with separators, >= 9
+    # digits total — anchored on word boundaries
+    (r"\+?\b\d[\d \-()]{7,}\d\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col) -> Column:
+    """Redact emails / IPv4s / phone-shaped digit runs with typed tokens.
+
+    A chain of ``regexp_replace`` built-ins — whole-stage codegen, no
+    UDF; order matters (see PII_PATTERNS). At 100 TB this is a pure
+    map-side projection: no shuffle, pushdown-transparent.
+    """
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -460,3 +460,50 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------- benchmark decontamination ----------
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram overlap with a benchmark/eval corpus — the
+    train-set decontamination primitive (Dolma/C4-style): a training doc
+    whose shingles substantially appear in an eval set leaks the
+    benchmark.
+
+    Returns (id, n_grams, n_contaminated, contamination) with
+    contamination = n_contaminated / n_grams over the doc's DISTINCT
+    n-grams. Token-less docs (NULL gram array) produce no row.
+
+    Scale shape: the benchmark side reduces to its distinct gram set —
+    eval corpora are orders of magnitude smaller than training corpora,
+    so Catalyst/AQE broadcasts it from statistics (no hint: the benchmark
+    is caller-supplied and unbounded in principle; a shuffled equi-join
+    on the gram string is the graceful degradation). The corpus side is
+    one explode -> one aggregation keyed by doc id, partial map-side.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(bench_grams, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

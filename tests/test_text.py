@@ -71,3 +71,44 @@ def test_text_ops_on_driver_documents(spark, sf_dir):
     )
     row = out.agg(F.min("q"), F.max("q"), F.sum("tc")).first()
     assert 0.0 <= row[0] <= row[1] <= 1.0 and row[2] > 0
+
+
+def test_scrub_pii_patterns(spark):
+    from pyorchdb_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.co.uk today"),
+        (2, "server at 192.168.1.254 went down"),
+        (3, "call +1 (555) 010-9987 or 555 123 4567 now"),
+        (4, "nothing sensitive here, just v1.2 and value 42"),
+        (5, "combo bob@x.io from 10.0.0.1 phone +44 20 7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["c"] for r in df.select("id", scrub_pii(F.col("t")).alias("c")).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server at <IP> went down"
+    assert "<PHONE>" in out[3] and "555" not in out[3]
+    assert out[4] == "nothing sensitive here, just v1.2 and value 42"
+    assert "<EMAIL>" in out[5] and "<IP>" in out[5] and "<PHONE>" in out[5]
+
+
+def test_ngram_contamination_semantics(spark):
+    from pyorchdb_spark.operators.dedup_docs import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),        # fully contained
+            (2, "the quick brown cat sleeps well"),  # partial: 1 of 4 shingles
+            (3, "completely unrelated words here"),  # zero overlap
+            (4, "   "),                              # token-less: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in ngram_contamination(docs, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contamination"] == 1.0 and out[1]["n_grams"] == 3
+    assert out[2]["n_grams"] == 4 and out[2]["n_contaminated"] == 1
+    assert out[3]["n_contaminated"] == 0 and out[3]["contamination"] == 0.0
