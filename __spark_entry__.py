@@ -258,6 +258,30 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.interval_join):
+    purchases falling inside each day's error-incident window
+    [first error, last error] — a plain BETWEEN join would plan as a
+    BroadcastNestedLoopJoin; the bucketized form is two hash shuffles."""
+    from pyorchdb_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("incident_day"))
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "value")
+    return (
+        interval_join(purchases, incidents, bucket="1 hour")
+        .groupBy("incident_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (F.percentile, JVM-side).
     Interpolation fractions are quarters and inputs are 2-decimal values,
@@ -691,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "asof_latest_click": q_asof_latest_click,
+        "range_join_incidents": q_range_join_incidents,
         "value_quantiles": q_value_quantiles,
         "events_pivot": q_events_pivot,
         "events_rollup": q_events_rollup,
@@ -861,6 +886,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "range_join_incidents": """
+            WITH incidents AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS incident_day,
+                     min(ts) AS s, max(ts) AS e
+              FROM events WHERE event_type = 'error' GROUP BY 1
+            )
+            SELECT incident_day,
+                   count(*) AS n_purchases,
+                   round(sum(value), 2) AS total_value
+            FROM events p JOIN incidents i ON p.ts BETWEEN i.s AND i.e
+            WHERE p.event_type = 'purchase'
+            GROUP BY incident_day
         """,
         "asof_latest_click": """
             SELECT e.user_id, e.event_id, c.ts AS click_ts, c.value AS click_value
