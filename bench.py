@@ -110,6 +110,9 @@ def main() -> None:
         "sessionize",
         "asof_latest_click",
         "events_rollup",
+        "range_join_incidents",
+        "scrub_pii",
+        "decontaminate",
     ]
 
     probe_before = substrate_probe(CPUS)

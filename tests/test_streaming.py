@@ -147,3 +147,56 @@ def test_stream_tail_mor_equals_batch_cow(spark, tmp_path):
         return {tuple(r) for r in rows}
 
     assert sig(lake_mor) == sig(LakeTable(spark, cow_root))
+
+
+def test_tail_tombstone_gc_watermark(spark, tmp_path):
+    """Streaming tail with tombstone_lag_batches: compaction derives the
+    low-watermark from lineage, records it in the manifest, and drops
+    GC-able tombstones — same contract as batch replay.
+
+    The log is written ONE FILE PER BATCH with pinned mtimes: the lag-1
+    disorder contract is stated over micro-batches, and the file source's
+    directory-listing order (not batch_id) decides epoch boundaries — a
+    multi-file batch dir can interleave epochs arbitrarily, which would
+    (correctly!) quarantine events that violate the declared contract and
+    make the un-gated comparison below meaningless."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pyorchdb_spark.generator import change_events, split_batches
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import LakeTable
+    from pyorchdb_spark.streaming.tail import run_tail_to_completion
+
+    ev = change_events(spark, 2_000, batch_size=500)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for i, (b, bdf) in enumerate(split_batches(ev)):
+        out = str(log_dir / f"batch_id={b}")
+        bdf.drop("batch_id").coalesce(1).write.parquet(out)
+        for f in _os.listdir(out):
+            _os.utime(_os.path.join(out, f), (1_700_000_000 + i * 100,) * 2)
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    run_tail_to_completion(
+        spark, str(log_dir), lake, ledger, str(tmp_path / "ckpt"),
+        num_files=2, max_files_per_trigger=1, mor=True,
+        mor_compact_factor=1, tombstone_lag_batches=1,
+    )
+    m = lake.manifest()
+    assert m.tombstone_watermark is not None
+    wm = m.tombstone_watermark
+    assert ledger.low_watermark(lag_batches=1) is not None
+    stored = lake.snapshot(include_tombstones=True)
+    assert stored.filter((F.col("op") == "delete") & (F.col("seq") <= wm)).count() == 0
+    # live state equals an un-gated batch replay of the same log
+    from pyorchdb_spark.ingest import replay
+
+    ref_root = str(tmp_path / "ref")
+    ref = LakeTable(spark, ref_root)
+    replay(ref, BatchLedger(spark, ref_root), ev, num_files=2)
+    sig = lambda df: {  # noqa: E731
+        tuple(r) for r in df.select("repo", "path", "content_sha256").fillna("x").collect()
+    }
+    assert sig(lake.snapshot()) == sig(ref.snapshot())
