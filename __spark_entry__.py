@@ -1040,7 +1040,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sig AS (
               SELECT doc_id AS id, lang AS blk,
                      list_distinct({_TOKENS}) AS grams
-              FROM documents
+              FROM documents WHERE len({_TOKENS}) > 0
             )
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -1053,7 +1053,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE sig AS (
               SELECT doc_id AS id, lang AS blk,
                      list_distinct({_TOKENS}) AS grams
-              FROM documents
+              FROM documents WHERE len({_TOKENS}) > 0
             ),
             edges AS (
               SELECT a.id AS id_a, b.id AS id_b
@@ -1082,7 +1082,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE sig AS (
               SELECT doc_id AS id, lang AS blk,
                      list_distinct({_TOKENS}) AS grams
-              FROM documents
+              FROM documents WHERE len({_TOKENS}) > 0
             ),
             edges AS (
               SELECT a.id AS id_a, b.id AS id_b
@@ -1111,7 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         # the result is deterministic — so the oracle is the exact 3-gram
         # Jaccard itself (verified equal; any regression hash-fails here).
         "dedup_minhash_lsh": f"""
-            WITH sig AS (SELECT doc_id AS id, {_SHINGLES3} AS grams FROM documents)
+            WITH sig AS (SELECT doc_id AS id, {_SHINGLES3} AS grams FROM documents WHERE len({_TOKENS}) > 0)
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
@@ -1123,7 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         # 3-gram Jaccard >= 0.5 — see the note above), closed transitively.
         "dedup_minhash_groups": f"""
             WITH RECURSIVE sig AS (
-              SELECT doc_id AS id, {_SHINGLES3} AS grams FROM documents
+              SELECT doc_id AS id, {_SHINGLES3} AS grams
+              FROM documents WHERE len({_TOKENS}) > 0
             ),
             edges AS (
               SELECT a.id AS id_a, b.id AS id_b

@@ -246,7 +246,14 @@ def replay(
         if mor:
             m = lake.manifest()
             delta_commits = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})
-            if delta_commits >= mor_compact_factor:
+            # two gates, both driver-only arithmetic: enough delta commits
+            # accumulated AND some bucket group actually exceeds the fold
+            # bounds — otherwise stale cold-group delta dirs would keep the
+            # commit count high and re-trigger the (Spark-job) watermark
+            # derivation after every batch for nothing
+            if delta_commits >= mor_compact_factor and lake.partial_compaction_due(
+                max_delta_files_per_group=mor_compact_factor
+            ):
                 if tombstone_lag_batches is None:
                     # retain ALL tombstones: arbitrarily late events may
                     # still arrive (no disorder contract declared)
@@ -256,5 +263,8 @@ def replay(
                     wm = RETAIN_ALL_TOMBSTONES if lw is None else lw
                 # partial: rewrite only bucket groups whose delta backlog
                 # exceeds the bounds; cold buckets keep their base files
-                lake.compact_partial(tombstone_watermark_seq=wm)
+                lake.compact_partial(
+                    max_delta_files_per_group=mor_compact_factor,
+                    tombstone_watermark_seq=wm,
+                )
     return results

@@ -87,20 +87,32 @@ def interval_join(
     p = points.withColumn("_b", F.floor(_us(point_ts) / F.lit(w)))
     lo = F.floor(_us(start_col) / F.lit(w))
     hi = F.floor(_us(end_col) / F.lit(w))
-    # fail loud on a mis-sized bucket width: a silent 10^6-way explode is
-    # a cluster-killer, and the fix (bigger width) is a one-line change.
-    # The guard lives INSIDE the _b expression (a when-branch of the
-    # sequence) — a separate guard column would be pruned away unused.
-    seq = F.when(
-        hi - lo < max_buckets_per_interval,
-        F.sequence(lo, hi),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"interval spans >= {max_buckets_per_interval} buckets of '{bucket}'; "
-                "choose a wider bucket= for interval_join"
-            )
+    # Branch order matters:
+    # - well-formed, bounded interval -> its bucket sequence;
+    # - well-formed but wider than the guard -> fail LOUD (a silent
+    #   10^6-way explode is a cluster-killer; the fix is a one-line
+    #   wider bucket=). The guard lives INSIDE the _b expression — a
+    #   separate guard column would be pruned away unused;
+    # - NULL start/end or reversed (end < start) -> NULL -> explode
+    #   emits nothing, matching BETWEEN semantics (no match), instead of
+    #   a misleading raise (NULL condition falls through when-branches)
+    #   or sequence()'s DESCENDING step for lo > hi (an unbounded explode
+    #   that would bypass a span-only guard).
+    seq = (
+        F.when(
+            (hi >= lo) & (hi - lo < max_buckets_per_interval),
+            F.sequence(lo, hi),
         )
+        .when(
+            hi - lo >= max_buckets_per_interval,
+            F.raise_error(
+                F.lit(
+                    f"interval spans >= {max_buckets_per_interval} buckets of '{bucket}'; "
+                    "choose a wider bucket= for interval_join"
+                )
+            ),
+        )
+        .otherwise(F.lit(None))
     )
     iv = intervals.withColumn("_b", F.explode(seq))
     return (

@@ -118,7 +118,11 @@ def lsh_topk(
         q = q.withColumn("bucket", F.explode(probes))
 
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        # no broadcast hint: the query side is usually small and AQE
+        # broadcasts it from statistics, but it is caller-supplied and
+        # unbounded (self-dedup passes query the whole corpus) — a forced
+        # broadcast would OOM instead of degrading to a shuffle join
+        c.join(q, "bucket")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
         # thin the multi-probe dedup exchange: cos_sim is deterministic
@@ -237,10 +241,18 @@ def ivf_topk(
     def assign(df, id_alias, vec_alias, top_cells):
         v = F.col(vec_alias).cast("array<double>")
         base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+
+        def score(ca):
+            # NaN scores (a NaN element in a dirty vector) pin to -2.0 —
+            # below cosine's [-1, 1] — so BOTH arms rank NaN cells last
+            # deterministically (array_max would crown NaN the max, while
+            # struct-sort would bury it; they must agree)
+            return F.nanvl(cosine(v, ca), F.lit(-2.0))
+
         if top_cells == 1:
             # argmax = first position of the max score -> lowest cell on
             # float ties, identical to the old desc(_d), asc(cell) order
-            scores = F.array(*[cosine(v, ca) for ca in centers_arr])
+            scores = F.array(*[score(ca) for ca in centers_arr])
             return base.withColumn("_scores", scores).select(
                 id_alias,
                 vec_alias,
@@ -253,7 +265,7 @@ def ivf_topk(
         ranked = F.array_sort(
             F.array(
                 *[
-                    F.struct((-cosine(v, ca)).alias("neg"), F.lit(i).cast("int").alias("cell"))
+                    F.struct((-score(ca)).alias("neg"), F.lit(i).cast("int").alias("cell"))
                     for i, ca in enumerate(centers_arr)
                 ]
             )
@@ -266,9 +278,10 @@ def ivf_topk(
     q = assign(queries, "query_id", "q_vec", n_probe)
 
     scored = (
-        # query side is small by construction (a query set, n_probe-
-        # exploded) — broadcast it so the corpus is never shuffled by cell
-        c.join(F.broadcast(q), "cell")
+        # no broadcast hint (same rule as lsh_topk): AQE broadcasts the
+        # n_probe-exploded query side while its statistics fit, and
+        # degrades to a shuffle join when a caller passes an unbounded one
+        c.join(q, "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cos_sim", cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")))
         # project BEFORE dedup/window so the only exchanges in the plan

@@ -99,13 +99,27 @@ class BatchLedger:
         generation (``bkt_{nb}`` columns, each bounded by nb values).
         Before round 3 that hit-set was its own distinct+collect job —
         a second full key-column scan of every batch, pure per-batch
-        fixed cost at the 10^4-micro-batch design point (VERDICT r2 #1)."""
+        fixed cost at the 10^4-micro-batch design point (VERDICT r2 #1).
+
+        max_seq/min_seq/tombstones are computed over VALID rows only
+        (``invalid_reason`` null): quarantined rows never merge, and a
+        corrupt row with a garbage seq (e.g. 10^18) recorded into
+        lineage would poison the tombstone-GC low-watermark — advancing
+        it past every future legitimate event, mass-quarantining the
+        whole stream. ``rows_in`` stays the total input count."""
         seq_col = "seq" if "seq" in source_events.columns else source_events.columns[0]
+        if invalid_reason is not None:
+            valid = invalid_reason.isNull()
+            seq_valid = F.when(valid, F.col(seq_col))
+            tomb = valid & (F.col("op") == "delete")
+        else:
+            seq_valid = F.col(seq_col)
+            tomb = F.col("op") == "delete"
         aggs = [
             F.count(F.lit(1)).alias("rows_in"),
-            F.sum((F.col("op") == "delete").cast("long")).alias("tombstones"),
-            F.max(seq_col).alias("max_seq"),
-            F.min(seq_col).alias("min_seq"),
+            F.sum(tomb.cast("long")).alias("tombstones"),
+            F.max(seq_valid).alias("max_seq"),
+            F.min(seq_valid).alias("min_seq"),
         ]
         if invalid_reason is not None:
             aggs.append(F.sum(invalid_reason.isNotNull().cast("long")).alias("n_invalid"))

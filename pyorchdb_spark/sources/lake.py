@@ -650,6 +650,46 @@ class LakeTable:
             raise
         return manifest
 
+    @staticmethod
+    def _partial_selection(
+        m: Manifest, delta_fraction: float, max_delta_files_per_group: int
+    ) -> list[dict]:
+        """Files whose bucket group exceeds the delta bounds — pure
+        manifest arithmetic (no Spark job); empty = nothing to fold."""
+        g_min = min(f["nb"] for f in m.files)
+        groups: dict[int, list[dict]] = {}
+        for f in m.files:
+            groups.setdefault(f["bucket"] % g_min, []).append(f)
+        selected: list[dict] = []
+        for fs in groups.values():
+            deltas = [f for f in fs if f.get("delta")]
+            if not deltas:
+                continue
+            total = sum(f["rows"] for f in fs)
+            if (
+                sum(f["rows"] for f in deltas) > delta_fraction * total
+                or len(deltas) > max_delta_files_per_group
+            ):
+                selected.extend(fs)
+        return selected
+
+    def partial_compaction_due(
+        self,
+        delta_fraction: float = 0.125,
+        max_delta_files_per_group: int = 8,
+    ) -> bool:
+        """True when compact_partial would rewrite something — callers
+        use this cheap (driver-only) check to avoid paying for the
+        low-watermark derivation (a Spark job over lineage) on every
+        micro-batch once old delta commit dirs keep the commit COUNT
+        high while no group actually exceeds the bounds."""
+        m = self.manifest()
+        if m is None or not any(f.get("delta") for f in m.files):
+            return False
+        if any(f.get("bucket") is None or not f.get("nb") for f in m.files):
+            return True  # compact_partial would fall back to full compact
+        return bool(self._partial_selection(m, delta_fraction, max_delta_files_per_group))
+
     def compact_partial(
         self,
         delta_fraction: float = 0.125,
@@ -695,22 +735,7 @@ class LakeTable:
         if any(f.get("bucket") is None or not f.get("nb") for f in m.files):
             return self.compact(tombstone_watermark_seq=tombstone_watermark_seq)
 
-        g_min = min(f["nb"] for f in m.files)
-        groups: dict[int, list[dict]] = {}
-        for f in m.files:
-            groups.setdefault(f["bucket"] % g_min, []).append(f)
-
-        selected: list[dict] = []
-        for fs in groups.values():
-            deltas = [f for f in fs if f.get("delta")]
-            if not deltas:
-                continue
-            total = sum(f["rows"] for f in fs)
-            if (
-                sum(f["rows"] for f in deltas) > delta_fraction * total
-                or len(deltas) > max_delta_files_per_group
-            ):
-                selected.extend(fs)
+        selected = self._partial_selection(m, delta_fraction, max_delta_files_per_group)
         if not selected:
             return m
 

@@ -176,10 +176,17 @@ def make_session_fn(
             cur_tot = 0.0
 
         closed: list[tuple[int, int, int, float]] = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            segs = _segment(pdf, ts_col, value_col, gap_us)
+        # Concatenate the group's Arrow chunks BEFORE segmenting: _segment
+        # sorts within what it is given, and applyInPandasWithState may
+        # split one key's micro-batch across chunks in arbitrary order —
+        # per-chunk segmentation would treat within-batch disorder across
+        # a chunk boundary as cross-batch late data and emit sessions
+        # batch sessionize would merge. A group's slice of one micro-batch
+        # is bounded by the micro-batch size, so materializing it is safe.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            segs = _segment(whole, ts_col, value_col, gap_us)
             for start_us, end_us, n, tot in segs.itertuples(index=False, name=None):
                 if cur_start is None:
                     cur_start, cur_end, cur_n, cur_tot = int(start_us), int(end_us), int(n), float(tot)

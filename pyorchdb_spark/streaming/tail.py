@@ -95,7 +95,12 @@ def tail_events(
             m = lake.manifest()
             if m is not None:
                 n_delta = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})
-                if n_delta >= mor_compact_factor:
+                # same two driver-only gates as batch replay: commit-count
+                # trigger AND a group actually over the fold bounds, so the
+                # low-watermark Spark job never runs per-batch for nothing
+                if n_delta >= mor_compact_factor and lake.partial_compaction_due(
+                    max_delta_files_per_group=mor_compact_factor
+                ):
                     from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES
 
                     wm = RETAIN_ALL_TOMBSTONES
@@ -103,7 +108,10 @@ def tail_events(
                         lw = ledger.low_watermark(lag_batches=tombstone_lag_batches)
                         if lw is not None:
                             wm = lw
-                    lake.compact_partial(tombstone_watermark_seq=wm)
+                    lake.compact_partial(
+                        max_delta_files_per_group=mor_compact_factor,
+                        tombstone_watermark_seq=wm,
+                    )
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

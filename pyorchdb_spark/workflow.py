@@ -219,7 +219,14 @@ class ETLWorkflow:
             sub = os.path.join(processed_dir, name)
             if not os.path.isdir(sub):
                 continue
-            if not any(f.endswith(".parquet") for f in os.listdir(sub)):
+            # recursive: a partitionBy'd table keeps its parquet files one
+            # level down (_col=.../part-*.parquet) with none at the top
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(sub)
+                for f in files
+            )
+            if not has_parquet:
                 continue
             out[name] = self.spark.read.parquet(sub)
         return out

@@ -45,3 +45,51 @@ def test_clean_batch_writes_no_rejects(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(root, "_rejects"))
+
+
+def test_quarantined_seq_does_not_poison_watermark(spark, tmp_path):
+    """Code-review r3 finding: a rejected row's garbage seq must not
+    enter lineage max/min_seq — it would advance the tombstone-GC
+    low-watermark past every future legitimate event and mass-quarantine
+    the stream."""
+    from pyspark.sql import functions as F
+
+    from pyorchdb_spark.generator import change_events
+    from pyorchdb_spark.ingest import replay
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    ev = change_events(spark, 2_000, batch_size=1_000)
+    poison = ev.limit(1).select(
+        F.lit("repo_0").alias("repo"), F.lit("poison.py").alias("path"),
+        F.lit("c").alias("commit"), F.lit(10**15).cast("long").alias("seq"),
+        F.lit("upsrt").alias("op"),  # unknown op -> quarantined
+        F.lit("py").alias("lang"), F.lit("x").alias("content"),
+        F.lit("b000000").alias("batch_id"), F.current_timestamp().alias("ts"),
+        F.lit(None).cast("string").alias("lang_variant"),
+    )
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    res = replay(lake, ledger, ev.unionByName(poison), num_files=2)
+    assert res[0].rows_rejected == 1
+
+    # lineage never saw the poison seq; watermark stays at real max
+    lin_max = ledger.lineage().agg(F.max("max_seq")).first()[0]
+    assert lin_max < 10**15
+    wm = ledger.low_watermark(lag_batches=1)
+    assert wm is not None and wm < 10**15
+
+    # a later legitimate event still merges (would be quarantined if the
+    # watermark had been poisoned and recorded via a compaction)
+    lake.compact(tombstone_watermark_seq=wm)
+    assert lake.manifest().tombstone_watermark == wm
+    late = ev.limit(1).select(
+        F.lit("repo_0").alias("repo"), F.lit("fresh.py").alias("path"),
+        F.lit("c2").alias("commit"), F.lit(wm + 10).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"), F.lit("py").alias("lang"),
+        F.lit("fresh content").alias("content"), F.lit("zfresh").alias("batch_id"),
+        F.current_timestamp().alias("ts"), F.lit(None).cast("string").alias("lang_variant"),
+    )
+    res2 = replay(lake, ledger, late, num_files=2)
+    assert res2[0].rows_rejected == 0
+    assert lake.snapshot().filter(F.col("path") == "fresh.py").count() == 1

@@ -98,3 +98,21 @@ def test_interval_join_guard_on_missized_bucket(spark):
 def test_interval_join_bad_bucket_string(spark):
     with pytest.raises(ValueError, match="fortnights"):
         interval_join(_pts(spark, []), _ivs(spark, []), bucket="2 fortnights")
+
+
+def test_interval_join_null_and_reversed_intervals_drop(spark):
+    """Code-review r3: NULL start/end and reversed (end < start)
+    intervals must produce NO matches (BETWEEN semantics) — not a
+    misleading guard error, and never sequence()'s descending explode."""
+    pts = _pts(spark, [(1, 0, BASE + dt.timedelta(hours=1))])
+    ivs = spark.createDataFrame(
+        [
+            (1, 0, None, BASE + dt.timedelta(hours=2)),          # null start
+            (2, 0, BASE, None),                                  # null end
+            (3, 0, BASE + dt.timedelta(days=400), BASE),         # reversed, huge span
+            (4, 0, BASE, BASE + dt.timedelta(hours=2)),          # valid
+        ],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    got = {r["iid"] for r in interval_join(pts, ivs, bucket="1 hour").collect()}
+    assert got == {4}
