@@ -553,6 +553,31 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(salted).alias("clean_text"))
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (operators/boilerplate.py).
+    The single-line synthetic corpus is salted with deterministic shared
+    header/footer lines (identically derivable in both engines): the
+    headers recur across hundreds of docs and must be dropped; each
+    doc's unique body line must survive."""
+    from pyorchdb_spark.operators.boilerplate import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("GENERATED FILE - DO NOT EDIT"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("cookie notice: accept all"))
+            .otherwise(F.lit("nav: home | about | contact")),
+            F.col("text"),
+            F.lit("copyright 2024 example corp"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(salted, min_doc_frequency=10).select(
+        F.col("id").alias("doc_id"), "clean_text"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram overlap of every training doc
     against the held-out 'benchmark' slice (doc_id % 20 == 0) —
@@ -735,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
+        "remove_boilerplate": q_remove_boilerplate,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
@@ -1020,6 +1046,36 @@ def oracle_sql() -> dict[str, str]:
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                 '\+?\b\d[\d \-()]{7,}\d\b', '<PHONE>', 'g') AS clean_text
             FROM documents
+        """,
+        "remove_boilerplate": """
+            WITH salted AS (
+              SELECT doc_id,
+                     'GENERATED FILE - DO NOT EDIT' || chr(10)
+                     || CASE WHEN doc_id % 2 = 0 THEN 'cookie notice: accept all'
+                             ELSE 'nav: home | about | contact' END || chr(10)
+                     || text || chr(10)
+                     || 'copyright 2024 example corp' AS text
+              FROM documents
+            ),
+            split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM salted
+            ),
+            lines AS (
+              SELECT doc_id, u['ord'] AS ord, u['line'] AS line FROM (
+                SELECT doc_id,
+                       unnest([{'ord': i, 'line': ls[i]}
+                               for i in generate_series(1, len(ls))]) AS u
+                FROM split
+              )
+            ),
+            boiler AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+            )
+            SELECT doc_id, string_agg(l.line, chr(10) ORDER BY l.ord) AS clean_text
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+            WHERE b.line IS NULL
+            GROUP BY doc_id
         """,
         "decontaminate": f"""
             WITH bench AS (
