@@ -578,6 +578,19 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed train/val/test assignment
+    (operators/sampling.hash_split — md5-bucket thresholds, portable
+    bit-for-bit to DuckDB): per-doc split label plus per-split counts
+    are both pinned by the oracle."""
+    from pyorchdb_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, cols=["doc_id"]
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram overlap of every training doc
     against the held-out 'benchmark' slice (doc_id % 20 == 0) —
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "remove_boilerplate": q_remove_boilerplate,
+        "train_val_split": q_train_val_split,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
@@ -1046,6 +1060,19 @@ def oracle_sql() -> dict[str, str]:
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                 '\+?\b\d[\d \-()]{7,}\d\b', '<PHONE>', 'g') AS clean_text
             FROM documents
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN b < 8000 THEN 'train'
+                     WHEN b < 9000 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8)) AS BIGINT) % 10000 AS b
+              FROM documents
+            )
         """,
         "remove_boilerplate": """
             WITH salted AS (
