@@ -88,6 +88,26 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _footer_seq_range(md) -> tuple[int | None, int | None]:
+    """(min, max) of the 'seq' column from parquet footer statistics,
+    or (None, None) when the column is absent or stats are missing."""
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == "seq":
+            idx = i
+            break
+    if idx is None:
+        return None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None  # partial stats: claim nothing
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (int(lo), int(hi)) if lo is not None else (None, None)
+
+
 @dataclass
 class Manifest:
     version: int
@@ -248,6 +268,40 @@ class LakeTable:
         m = self.manifest()
         return m is None or not m.files
 
+    def changes_since(self, seq: int, version: int | None = None) -> DataFrame:
+        """Incremental CDC read: per-key LATEST state among rows with
+        ``seq > seq`` — upserts AND tombstones (a downstream consumer must
+        see deletes), exactly one row per changed key.
+
+        File pruning is manifest arithmetic over the per-file seq ranges
+        recorded at write time (parquet footer stats): a file whose whole
+        range is ``<= seq`` is never opened. On a MoR table the delta
+        files carry narrow, recent seq ranges, so tailing consumers read
+        O(new deltas), not O(table); after a compaction the ranges
+        widen (folded files span history) and a consumer should instead
+        checkpoint more frequently than the compaction cadence. Files
+        missing stats (foreign imports, stats-less writers) are read
+        conservatively; the row-level filter keeps the result exact.
+        """
+        m = self.manifest(version)
+        if m is None or not m.files:
+            return self.spark.createDataFrame([], m.schema() if m else StructType())
+        candidates = [
+            f for f in m.files if f.get("seq_max") is None or f["seq_max"] > seq
+        ]
+        if not candidates:
+            return self.spark.createDataFrame([], m.schema())
+        from pyorchdb_spark.operators.dedup import lww_dedup
+
+        df = self.spark.read.schema(m.schema()).parquet(
+            *[os.path.join(self.root, f["path"]) for f in candidates]
+        )
+        # LWW within the selection: rows newer than `seq` that were
+        # already superseded by an even newer row collapse to one change
+        # per key. Keys whose winner is <= seq contribute nothing (their
+        # newer rows don't exist by definition of LWW storage).
+        return lww_dedup(df.filter(F.col("seq") > seq), keys=self.keys)
+
     # ---------- write path ----------
 
     def _write_data_files(
@@ -311,18 +365,25 @@ class LakeTable:
                 if not fname.endswith(".parquet"):
                     continue
                 full = os.path.join(bdir, fname)
-                rows = pq.ParquetFile(full).metadata.num_rows
+                md = pq.ParquetFile(full).metadata
+                rows = md.num_rows
                 if rows == 0:
                     os.unlink(full)
                     continue
-                out.append(
-                    {
-                        "path": os.path.join(out_rel, d, fname),
-                        "bucket": b,
-                        "nb": n_buckets,
-                        "rows": rows,
-                    }
-                )
+                entry = {
+                    "path": os.path.join(out_rel, d, fname),
+                    "bucket": b,
+                    "nb": n_buckets,
+                    "rows": rows,
+                }
+                # per-file seq range from footer column stats (same
+                # O(files) driver-local reads as the row counts): powers
+                # changes_since() file pruning — incremental downstream
+                # consumers skip files whose whole seq range is old
+                smin, smax = _footer_seq_range(md)
+                if smin is not None:
+                    entry["seq_min"], entry["seq_max"] = smin, smax
+                out.append(entry)
         return out
 
     @staticmethod

@@ -299,3 +299,42 @@ def test_fused_hit_set_matches_job_based_split(spark, tmp_path):
     assert key(a_job) == key(a_fused)
     assert key(u_job) == key(u_fused)
     assert u_fused, "expected some untouched files (pruning actually pruned)"
+
+
+def test_changes_since_incremental_read_prunes_files(spark, tmp_path):
+    """CDC consumption: changes_since(X) returns exactly the per-key LWW
+    winners with seq > X (tombstones included), and on a MoR table the
+    manifest seq ranges prune old files without opening them."""
+    from pyorchdb_spark.operators.dedup import lww_dedup
+
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 4_000, batch_size=1_000)
+    replay(lake, ledger, ev, num_files=4, mor=True)
+    m = lake.manifest()
+    assert all("seq_min" in f and "seq_max" in f for f in m.files)
+
+    cutoff = 2_500  # mid-log: batches 0-1 fully below, 3 fully above
+    got = {
+        (r["repo"], r["path"], r["seq"], r["op"])
+        for r in lake.changes_since(cutoff).collect()
+    }
+    exp = {
+        (r["repo"], r["path"], r["seq"], r["op"])
+        for r in lww_dedup(
+            prepare_events(ev).filter(F.col("seq") > cutoff), keys=("repo", "path")
+        ).collect()
+    }
+    # engine content normalization: compare on identity+op (content sha
+    # paths already asserted equal in the replay suites)
+    assert {g[:2] + g[2:] for g in got} == exp
+    assert any(op == "delete" for *_, op in got)  # tombstones visible
+
+    # pruning actually prunes: files wholly below the cutoff are skipped
+    n_candidates = sum(1 for f in m.files if f["seq_max"] > cutoff)
+    assert n_candidates < len(m.files)
+    read_files = lake.changes_since(cutoff).inputFiles()
+    assert len(read_files) == n_candidates
+
+    # beyond the log: empty result, zero files
+    assert lake.changes_since(10**9).isEmpty()
