@@ -171,6 +171,36 @@ def cmd_verify(args) -> dict:
     }
 
 
+def cmd_changes(args) -> dict:
+    """Incremental CDC consumption: per-key latest changes with
+    seq > --since-seq (tombstones included), file-pruned via the
+    manifest's per-file seq ranges; optionally written to --out."""
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    lake = LakeTable(spark, args.table)
+    t0 = time.time()
+    ch = lake.changes_since(args.since_seq)
+    if args.out:
+        ch.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = ch.count()
+    m = lake.manifest()
+    pruned = sum(
+        1 for f in m.files if f.get("seq_max") is not None and f["seq_max"] <= args.since_seq
+    )
+    return {
+        "cmd": "changes",
+        "since_seq": args.since_seq,
+        "changed_keys": n,
+        "files_total": len(m.files),
+        "files_pruned": pruned,
+        "sec": round(time.time() - t0, 3),
+        "out": args.out,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -212,8 +242,20 @@ def main(argv=None) -> None:
     v.add_argument("--shuffle-partitions", type=int, default=None)
     v.add_argument("--master", default=None)
 
+    c = sub.add_parser("changes")
+    c.add_argument("--table", required=True)
+    c.add_argument("--since-seq", type=int, required=True)
+    c.add_argument("--out", default=None)
+    c.add_argument("--shuffle-partitions", type=int, default=None)
+    c.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
-    out = {"generate": cmd_generate, "replay": cmd_replay, "verify": cmd_verify}[args.cmd](args)
+    out = {
+        "generate": cmd_generate,
+        "replay": cmd_replay,
+        "verify": cmd_verify,
+        "changes": cmd_changes,
+    }[args.cmd](args)
     print(json.dumps(out))
 
 

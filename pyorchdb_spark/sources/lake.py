@@ -268,6 +268,54 @@ class LakeTable:
         m = self.manifest()
         return m is None or not m.files
 
+    def lookup(self, key_rows: list[dict], version: int | None = None) -> DataFrame:
+        """Point read: current state of the given keys (live rows only),
+        touching only the files whose bucket can hold them.
+
+        ``key_rows``: list of {key_col: value} dicts. The keys' buckets
+        are computed with ONE tiny job over a literal DataFrame (xxhash64
+        must match the JVM's exactly — no Python reimplementation), then
+        file selection is manifest arithmetic: for a point lookup on a
+        10^5-file table this opens O(len(key_rows)) files instead of
+        scanning the table. MoR deltas resolve as in ``snapshot``.
+        """
+        m = self.manifest(version)
+        if m is None or not m.files:
+            return self.spark.createDataFrame([], m.schema() if m else StructType())
+        for kr in key_rows:
+            if set(kr) != set(self.keys):
+                raise ValueError(f"lookup keys {sorted(kr)} != table keys {sorted(self.keys)}")
+        keys_df = self.spark.createDataFrame(
+            [tuple(kr[k] for k in self.keys) for kr in key_rows],
+            StructType([m.schema()[k] for k in self.keys]),
+        )
+        gens = self.bucket_gens(m)
+        if gens:
+            hit_rows = keys_df.select(
+                *[bucket_expr(self.keys, nb).alias(f"b{nb}") for nb in gens]
+            ).collect()
+            hits = {(nb, r[f"b{nb}"]) for r in hit_rows for nb in gens}
+            files = [
+                f
+                for f in m.files
+                if f.get("bucket") is None
+                or not f.get("nb")
+                or (f["nb"], f["bucket"]) in hits
+            ]
+        else:
+            files = m.files
+        df = self.spark.read.schema(m.schema()).parquet(
+            *[os.path.join(self.root, f["path"]) for f in files]
+        )
+        df = df.join(F.broadcast(keys_df), list(self.keys), "left_semi")
+        if any(f.get("delta") for f in files):
+            from pyorchdb_spark.operators.dedup import lww_dedup
+
+            df = lww_dedup(df, keys=self.keys)
+        if "op" in df.columns:
+            df = df.filter(F.col("op") != "delete").drop("op")
+        return df
+
     def changes_since(self, seq: int, version: int | None = None) -> DataFrame:
         """Incremental CDC read: per-key LATEST state among rows with
         ``seq > seq`` — upserts AND tombstones (a downstream consumer must

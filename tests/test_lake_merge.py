@@ -338,3 +338,37 @@ def test_changes_since_incremental_read_prunes_files(spark, tmp_path):
 
     # beyond the log: empty result, zero files
     assert lake.changes_since(10**9).isEmpty()
+
+
+def test_lookup_point_read_prunes_to_key_buckets(spark, tmp_path):
+    """Point lookup: current state of specific keys reading only the
+    files whose bucket can hold them; deleted keys absent; wrong key
+    columns rejected."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 3_000, batch_size=3_000)
+    replay(lake, ledger, ev, num_files=8)
+
+    snap = lake.snapshot().orderBy("repo", "path").limit(3).collect()
+    keys = [{"repo": r["repo"], "path": r["path"]} for r in snap]
+    got = lake.lookup(keys).collect()
+    assert {(r["repo"], r["path"]) for r in got} == {(k["repo"], k["path"]) for k in keys}
+    by_key = {(r["repo"], r["path"]): r["content"] for r in got}
+    for s in snap:
+        assert by_key[(s["repo"], s["path"])] == s["content"]
+
+    # pruning observable: fewer files opened than the manifest holds
+    m = lake.manifest()
+    assert len(lake.lookup(keys[:1]).inputFiles()) < len(m.files)
+
+    # a deleted key returns nothing
+    dead = lake.snapshot(include_tombstones=True).filter(F.col("op") == "delete").first()
+    assert lake.lookup([{"repo": dead["repo"], "path": dead["path"]}]).isEmpty()
+
+    # unknown key present nowhere
+    assert lake.lookup([{"repo": "nope", "path": "nope.py"}]).isEmpty()
+
+    with pytest.raises(ValueError, match="table keys"):
+        lake.lookup([{"repo": "r"}])
