@@ -137,6 +137,13 @@ CONFIGS = [
      ["--coalesce-batches", "--shuffle-partitions", "64"]),
     ("jvm_fixed64", "JVM sha2, single MERGE, shuffle width fixed at 64",
      ["--coalesce-batches", "--jvm-hash", "--shuffle-partitions", "64"]),
+    # merge-on-read incremental replay — the engine's fastest (and
+    # default-recommended) path since round 3: delta writes ∝ batch +
+    # partial compaction, measured 2.3x CoW at 16M events
+    ("mor_multi", "pandas-UDF sha256, incremental 4-batch MoR replay",
+     ["--mor"]),
+    ("mor_fixed64", "pandas-UDF sha256, incremental MoR replay, shuffle width fixed at 64",
+     ["--mor", "--shuffle-partitions", "64"]),
 ]
 
 
