@@ -591,6 +591,37 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the training-data pipeline a user of
+    this engine actually runs, composed from the first-class pieces:
+    quality gate (C4/Gopher heuristics) -> exact dedup (keep the lowest
+    doc_id per content hash) -> deterministic train/val assignment.
+    One oracle covers the whole chain. The clean synthetic corpus is
+    salted so every stage does real work (identically in both engines):
+    every 10th doc gets an exact duplicate at doc_id+100000 (the dedup
+    stage must drop it) and every 17th doc's text becomes pure
+    punctuation (the quality gate must drop it)."""
+    from pyorchdb_spark.functions.text import quality_score
+    from pyorchdb_spark.operators.dedup_docs import exact_dedup
+    from pyorchdb_spark.operators.sampling import split_column
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("!!! ??? !!! ??? !!!"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dups)
+    good = docs.filter(quality_score("text") >= 0.75)
+    deduped = exact_dedup(good)
+    return deduped.select(
+        "doc_id", split_column({"train": 0.9, "val": 0.1}, ["doc_id"]).alias("split")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram overlap of every training doc
     against the held-out 'benchmark' slice (doc_id % 20 == 0) —
@@ -775,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "remove_boilerplate": q_remove_boilerplate,
         "train_val_split": q_train_val_split,
+        "curate_corpus": q_curate_corpus,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
@@ -1060,6 +1092,47 @@ def oracle_sql() -> dict[str, str]:
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                 '\+?\b\d[\d \-()]{7,}\d\b', '<PHONE>', 'g') AS clean_text
             FROM documents
+        """,
+        "curate_corpus": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN '!!! ??? !!! ??? !!!'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            salted AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 10 = 0
+            ),
+            t AS (
+              SELECT doc_id, text,
+                     len({_TOKENS}) AS n_tok,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END AS praw,
+                     CASE WHEN len({_TOKENS}) > 0
+                          THEN CAST(len(list_filter({_TOKENS},
+                                 x -> x IN ('the','and','of','to','is','that','with','for'))) AS DOUBLE)
+                               / len({_TOKENS}) ELSE 0.0 END AS sraw,
+                     CASE WHEN len({_TOKENS}) > 0
+                          THEN CAST(length(text) AS DOUBLE) / len({_TOKENS})
+                          ELSE 0.0 END AS mean_len
+              FROM salted
+            ),
+            good AS (
+              SELECT doc_id, text FROM t
+              WHERE (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+                     + CASE WHEN praw < 0.3 THEN 1.0 ELSE 0.0 END
+                     + CASE WHEN sraw > 0.01 THEN 1.0 ELSE 0.0 END
+                     + CASE WHEN mean_len BETWEEN 2.0 AND 15.0 THEN 1.0 ELSE 0.0 END
+                    ) / 4.0 >= 0.75
+            ),
+            dedup AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY sha256(text))
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8)) AS BIGINT) % 10000 < 9000
+                        THEN 'train' ELSE 'val' END AS split
+            FROM dedup
         """,
         "train_val_split": """
             SELECT doc_id,
