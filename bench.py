@@ -113,6 +113,7 @@ def main() -> None:
         "range_join_incidents",
         "scrub_pii",
         "decontaminate",
+        "curate_corpus",
     ]
 
     probe_before = substrate_probe(CPUS)
