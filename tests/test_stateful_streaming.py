@@ -266,3 +266,52 @@ def test_session_fn_far_late_segment_not_glued_to_open_session():
     assert {(r.session_start, r.closed) for r in out2.itertuples()} == {
         (TS(1970, 1, 1, 0, 1, 35), False)
     }
+
+
+def test_session_fn_chunked_group_batch_equals_single_chunk():
+    """Code-review r3: applyInPandasWithState may deliver one key's
+    micro-batch as several out-of-order pandas chunks; segmentation must
+    happen over the concatenated batch, or within-batch disorder across
+    a chunk boundary gets misread as cross-batch late data."""
+    import pandas as pd
+
+    from pyorchdb_spark.streaming.stateful import make_session_fn
+
+    class _FakeState2:
+        def __init__(self):
+            self._t = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    def chunk(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    fn = make_session_fn("10 seconds", keys=("user_id",))
+    # one batch split into chunks delivered newest-first: [1000s], [100s], [105s]
+    chunks = [
+        chunk([(1, TS(1970, 1, 1, 0, 16, 40), 1.0)]),   # t=1000s
+        chunk([(1, TS(1970, 1, 1, 0, 1, 40), 1.0)]),    # t=100s
+        chunk([(1, TS(1970, 1, 1, 0, 1, 45), 1.0)]),    # t=105s
+    ]
+    st = _FakeState2()
+    [out] = list(fn((1,), chunks, st))
+    got = {
+        (r.session_start, r.session_end, r.n_events, r.closed)
+        for r in out.itertuples()
+    }
+    # batch semantics: ONE closed session [100,105] + open [1000,1000]
+    assert got == {
+        (TS(1970, 1, 1, 0, 1, 40), TS(1970, 1, 1, 0, 1, 45), 2, True),
+        (TS(1970, 1, 1, 0, 16, 40), TS(1970, 1, 1, 0, 16, 40), 1, False),
+    }
