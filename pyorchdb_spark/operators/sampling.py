@@ -47,6 +47,10 @@ def hash_sample(
     df: DataFrame, fraction: float, cols: Sequence[str], seed: int = 42
 ) -> DataFrame:
     """Keyed deterministic sample of ~``fraction`` of distinct keys."""
+    if not 0.0 <= fraction <= 1.0:
+        # a percent-vs-fraction typo (25 instead of 0.25) would otherwise
+        # return the whole table as a plausible-looking "sample"
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(cols, seed) < int(round(fraction * N_BUCKETS)))
 
 

@@ -279,12 +279,15 @@ class LakeTable:
         10^5-file table this opens O(len(key_rows)) files instead of
         scanning the table. MoR deltas resolve as in ``snapshot``.
         """
-        m = self.manifest(version)
-        if m is None or not m.files:
-            return self.spark.createDataFrame([], m.schema() if m else StructType())
         for kr in key_rows:
             if set(kr) != set(self.keys):
                 raise ValueError(f"lookup keys {sorted(kr)} != table keys {sorted(self.keys)}")
+        m = self.manifest(version)
+        if m is None or not m.files:
+            # schema-consistent with the non-empty path (no 'op' column)
+            schema = m.schema() if m else StructType()
+            empty = self.spark.createDataFrame([], schema)
+            return empty.drop("op") if "op" in empty.columns else empty
         keys_df = self.spark.createDataFrame(
             [tuple(kr[k] for k in self.keys) for kr in key_rows],
             StructType([m.schema()[k] for k in self.keys]),
@@ -330,10 +333,22 @@ class LakeTable:
         checkpoint more frequently than the compaction cadence. Files
         missing stats (foreign imports, stats-less writers) are read
         conservatively; the row-level filter keeps the result exact.
+
+        Raises when ``seq`` lies BELOW the table's tombstone GC
+        watermark: deletes up to the watermark may have been physically
+        dropped, so a consumer resuming from that far back would
+        silently keep deleted keys forever — the Iceberg/Delta
+        expired-start contract; the consumer must full-snapshot resync.
         """
         m = self.manifest(version)
         if m is None or not m.files:
             return self.spark.createDataFrame([], m.schema() if m else StructType())
+        if m.tombstone_watermark is not None and seq < m.tombstone_watermark:
+            raise ValueError(
+                f"changes_since({seq}) starts below the tombstone GC watermark "
+                f"({m.tombstone_watermark}): deletes up to the watermark may be "
+                "physically gone — resync from a full snapshot() instead"
+            )
         candidates = [
             f for f in m.files if f.get("seq_max") is None or f["seq_max"] > seq
         ]

@@ -325,9 +325,7 @@ def test_changes_since_incremental_read_prunes_files(spark, tmp_path):
             prepare_events(ev).filter(F.col("seq") > cutoff), keys=("repo", "path")
         ).collect()
     }
-    # engine content normalization: compare on identity+op (content sha
-    # paths already asserted equal in the replay suites)
-    assert {g[:2] + g[2:] for g in got} == exp
+    assert got == exp
     assert any(op == "delete" for *_, op in got)  # tombstones visible
 
     # pruning actually prunes: files wholly below the cutoff are skipped
@@ -372,3 +370,22 @@ def test_lookup_point_read_prunes_to_key_buckets(spark, tmp_path):
 
     with pytest.raises(ValueError, match="table keys"):
         lake.lookup([{"repo": "r"}])
+
+
+def test_changes_since_below_gc_watermark_raises(spark, tmp_path):
+    """Code-review r3b: a consumer resuming below the tombstone GC
+    watermark would silently miss physically-dropped deletes — the read
+    must refuse (Iceberg/Delta expired-start contract)."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 2_000, batch_size=1_000)
+    replay(lake, ledger, ev, num_files=2)
+    wm = 1_500
+    lake.compact(tombstone_watermark_seq=wm)
+    with pytest.raises(ValueError, match="watermark"):
+        lake.changes_since(wm - 1)
+    # at/above the watermark every needed tombstone is still present
+    ok = lake.changes_since(wm)
+    assert ok.filter(F.col("seq") <= wm).isEmpty()
