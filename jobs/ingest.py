@@ -201,6 +201,40 @@ def cmd_changes(args) -> dict:
     }
 
 
+def cmd_compact(args) -> dict:
+    """Maintenance entry: fold MoR deltas / GC tombstones.
+
+    --partial rewrites only bucket groups over the delta bounds (cold
+    base files keep their paths); --tombstone-lag derives the GC
+    watermark from the lineage history (omit = retain every tombstone)."""
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import RETAIN_ALL_TOMBSTONES, LakeTable
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    lake = LakeTable(spark, args.table)
+    t0 = time.time()
+    wm = RETAIN_ALL_TOMBSTONES
+    if args.tombstone_lag is not None:
+        lw = BatchLedger(spark, args.table).low_watermark(lag_batches=args.tombstone_lag)
+        if lw is not None:
+            wm = lw
+    before = lake.manifest()
+    if args.partial:
+        m = lake.compact_partial(tombstone_watermark_seq=wm)
+    else:
+        m = lake.compact(tombstone_watermark_seq=wm)
+    return {
+        "cmd": "compact",
+        "partial": args.partial,
+        "version": m.version,
+        "rewrote": m.version != (before.version if before else None),
+        "files": len(m.files),
+        "delta_files": sum(1 for f in m.files if f.get("delta")),
+        "tombstone_watermark": m.tombstone_watermark,
+        "sec": round(time.time() - t0, 3),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -249,12 +283,20 @@ def main(argv=None) -> None:
     c.add_argument("--shuffle-partitions", type=int, default=None)
     c.add_argument("--master", default=None)
 
+    k = sub.add_parser("compact")
+    k.add_argument("--table", required=True)
+    k.add_argument("--partial", action="store_true")
+    k.add_argument("--tombstone-lag", type=int, default=None)
+    k.add_argument("--shuffle-partitions", type=int, default=None)
+    k.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
     out = {
         "generate": cmd_generate,
         "replay": cmd_replay,
         "verify": cmd_verify,
         "changes": cmd_changes,
+        "compact": cmd_compact,
     }[args.cmd](args)
     print(json.dumps(out))
 
