@@ -38,7 +38,6 @@ from pyorchdb_spark.operators.dedup import lww_dedup, lww_dedup_salted  # noqa: 
 from pyorchdb_spark.operators.dedup_docs import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash64,
     simhash_pairs,
 )
 from pyorchdb_spark.operators.similarity import (  # noqa: E402
@@ -572,13 +571,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: the signatures are xxhash64-bit-vote values no SQL engine can
     reproduce, but every pair simhash_pairs RETURNS must (a) report a
     hamming equal to an INDEPENDENT numpy popcount of the XOR of the two
-    rejoined signatures, (b) satisfy hamming <= max_hamming, and (c) be
+    exported signatures, (b) satisfy hamming <= max_hamming, and (c) be
     canonical (id_a < id_b). This query returns the violations; the
     oracle is the empty set. Pair-set exactness vs a brute-force
     all-pairs scan is asserted in tests/test_docs_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, max_hamming=3)
-    sigs = simhash64(docs)
+    # with_signatures exports (s_a, s_b) so verification reuses the
+    # signatures already computed inside the banding — not a second
+    # corpus hashing pass
+    pairs = simhash_pairs(docs, max_hamming=3, with_signatures=True)
 
     @F.pandas_udf("integer")
     def np_popcount(x: pd.Series) -> pd.Series:
@@ -587,12 +588,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = x.to_numpy(dtype=np.int64).view(np.uint8).reshape(-1, 8)
         return pd.Series(np.unpackbits(a, axis=1).sum(axis=1).astype(np.int32))
 
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b"))
-    checked = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("np_ham", np_popcount(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+    checked = pairs.withColumn(
+        "np_ham", np_popcount(F.col("s_a").bitwiseXOR(F.col("s_b")))
     )
     return checked.filter(
         (F.col("hamming") != F.col("np_ham"))

@@ -169,25 +169,34 @@ def main() -> None:
     replay_sec = timings["cdc_replay"]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time + CDC replay",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-                "cdc_replay_events": n_rows,
-                "cdc_replay_events_per_sec": round(n_rows / replay_sec, 1),
-                "cdc_replay_events_per_sec_by_strategy": replay_stats,
-                "cpus": CPUS,
-                "n_runs": N_RUNS,
-                "queries_all": samples,
-                "substrate_probe_before": probe_before,
-                "substrate_probe_after": probe_after,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline query wall time + CDC replay",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cdc_replay_events": n_rows,
+        "cdc_replay_events_per_sec": round(n_rows / replay_sec, 1),
+        "cdc_replay_events_per_sec_by_strategy": replay_stats,
+        "cpus": CPUS,
+        "n_runs": N_RUNS,
+        "detail_file": "BENCH/bench_detail.json",
+    }
+    # per-sample timings + substrate probes go to a SIDECAR, not the
+    # stdout line: r3's embedded queries_all grew the one-line JSON past
+    # the driver's tail capture, so BENCH_r03.json recorded
+    # "parsed": null (VERDICT r3 next #4). The summary stays small and is
+    # the FINAL stdout line.
+    detail = {
+        "queries_all": samples,
+        "substrate_probe_before": probe_before,
+        "substrate_probe_after": probe_after,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

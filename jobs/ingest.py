@@ -93,7 +93,10 @@ def cmd_replay(args) -> dict:
             spark, args.events, lake, ledger, ckpt, salted=args.salted, num_files=args.num_files
         )
     else:
-        replay(lake, ledger, events, salted=args.salted, num_files=args.num_files,
+        salted: bool | str = args.salted
+        if getattr(args, "salt", None):
+            salted = {"plain": False, "salted": True, "auto": "auto"}[args.salt]
+        replay(lake, ledger, events, salted=salted, num_files=args.num_files,
                jvm_only_udfs=args.jvm_hash, mor=args.mor)
     dt = time.time() - t0
     return {
@@ -252,6 +255,10 @@ def main(argv=None) -> None:
     r.add_argument("--table", required=True)
     r.add_argument("--mode", choices=["batch", "stream"], default="batch")
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--salt", choices=["plain", "salted", "auto"], default=None,
+                   help="skew strategy: 'auto' measures key frequency on a "
+                        "deterministic sample and picks plain/salted + n_salts "
+                        "(overrides --salted)")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--num-files", type=int, default=None)
     r.add_argument("--coalesce-batches", action="store_true")

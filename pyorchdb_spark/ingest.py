@@ -199,7 +199,7 @@ def replay(
     ledger: BatchLedger,
     events: DataFrame,
     *,
-    salted: bool = False,
+    salted: bool | str = False,
     n_salts: int = 16,
     num_files: int | None = None,
     cache_batch: bool = False,
@@ -225,7 +225,16 @@ def replay(
     watermark are quarantined (``below_watermark``), so a dropped
     tombstone can never be resurrected. Default None retains every
     tombstone (arbitrarily late events stay mergeable).
+
+    ``salted="auto"``: measure key skew ONCE over the whole input (one
+    sampled column-pruned job, ``choose_salt_strategy``) and pick
+    plain/salted + n_salts from the evidence — uniform feeds keep plain
+    throughput, hot-key feeds get just enough salt.
     """
+    if salted == "auto":
+        from pyorchdb_spark.operators.dedup import choose_salt_strategy
+
+        salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
     for b in batch_ids:

@@ -166,6 +166,60 @@ def lww_dedup_bucketed(
     )
 
 
+def choose_salt_strategy(
+    events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    sample_mod: int = 101,
+    min_sample: int = 256,
+    min_hot_rows: int = 20,
+    max_salts: int = 64,
+) -> tuple[bool, int]:
+    """Adaptive skew strategy: decide plain vs salted LWW (+ ``n_salts``)
+    from measured key frequency — SURVEY §4 item 1's "S scales with
+    measured key frequency", closing the static-S=16 deviation (VERDICT
+    r3 next #2: always-on salting cost 1.5x on uniform input).
+
+    Evidence is a ~1/``sample_mod`` deterministic sample (xxhash64 of
+    ``seq`` — partition-count-independent, stable across runs, never the
+    key itself) aggregated to (sample size, hottest-key count): ONE
+    column-pruned job whose shuffle carries only sampled key rows. Salting
+    pays only when the hottest key materially exceeds a balanced shuffle
+    partition (~n/P rows), so:
+
+    - plain when the sample is too small to trust (< ``min_sample`` rows
+      or hottest < ``min_hot_rows``) or the hot share <= 4/P;
+    - else salted, with ``n_salts`` ≈ hot_share x P rounded up to a power
+      of two in [8, ``max_salts``] — enough splits that the hot key's
+      per-salt slice shrinks back to ~one balanced partition.
+
+    Decide once per replay (the skew profile of a feed is stable);
+    deciding per micro-batch would re-add a per-batch fixed-cost job
+    (VERDICT r2 #1).
+    """
+    spark = events.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sampled = events.select(*keys, seq_col).filter(
+        F.pmod(F.xxhash64(F.col(seq_col), F.lit("salt-probe")), F.lit(sample_mod)) == 0
+    )
+    row = (
+        sampled.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    mx = int(row["mx"] or 0)
+    if n < min_sample or mx < min_hot_rows:
+        return False, 16
+    hot_share = mx / n
+    if hot_share <= 4.0 / n_parts:
+        return False, 16
+    want = max(8, min(max_salts, int(hot_share * n_parts) + 1))
+    n_salts = 1 << (want - 1).bit_length()  # next power of two
+    return True, min(n_salts, max_salts)
+
+
 def final_state(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,

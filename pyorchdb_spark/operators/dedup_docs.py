@@ -414,6 +414,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -422,6 +423,11 @@ def simhash_pairs(
     (pigeonhole — completeness holds for ANY max_hamming because the
     chunk count is derived from it, not fixed), so a chunk-equality join
     finds every qualifying pair; verify with bit_count.
+
+    ``with_signatures=True`` keeps the two 64-bit signatures (``s_a``,
+    ``s_b``) in the output so a downstream verifier can recompute the
+    reported hamming independently without hashing the corpus a second
+    time (VERDICT r3 next #5).
     """
     n_chunks = max_hamming + 1
     if n_chunks > 64:
@@ -451,6 +457,7 @@ def simhash_pairs(
     a = banded.select(F.col("id").alias("id_a"), "chunk", "ck", F.col("simhash").alias("s_a"))
     b = banded.select(F.col("id").alias("id_b"), "chunk", "ck", F.col("simhash").alias("s_b"))
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    out_cols = ["id_a", "id_b", "s_a", "s_b", "hamming"] if with_signatures else ["id_a", "id_b", "hamming"]
     return (
         a.join(b, ["chunk", "ck"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -458,7 +465,7 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(*out_cols)
     )
 
 

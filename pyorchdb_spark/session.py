@@ -51,6 +51,8 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # stderr progress bars corrupt captured bench/driver output
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Files: 128 MiB split targets — same default a real cluster uses.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

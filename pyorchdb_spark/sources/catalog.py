@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 MARKER_SCHEMA = "batch_id string, version long, rows_in long, committed_at double"
 LINEAGE_SCHEMA = (
     "batch_id string, partition_id int, rows_in long, tombstones long, "
-    "max_seq long, table_rows_after long, min_seq long"
+    "max_seq long, table_rows_after long, min_seq long, committed_at double"
 )
 
 
@@ -168,6 +168,12 @@ class BatchLedger:
                     [None if r["min_seq"] is None else int(r["min_seq"]) for r in metrics_rows],
                     pa.int64(),
                 ),
+                # durable commit ordinal: low_watermark() orders batches
+                # by this, NOT by batch_id — id strings from different
+                # feeders ('b%06d' replay vs 'stream-<sha>-<epoch>' tails)
+                # do not interleave in time order lexicographically
+                # (ADVICE r3 #1)
+                "committed_at": pa.array([time.time()] * len(metrics_rows), pa.float64()),
             }
         )
         pq.write_table(
@@ -197,14 +203,28 @@ class BatchLedger:
         resurrected. Returns None while fewer than ``lag_batches + 1``
         batches have committed (retain everything).
 
+        Batches are ordered by their durable commit ordinal
+        (``committed_at``, recorded per lineage row; ties and legacy rows
+        without it fall back to batch_id) — NOT by the id string alone:
+        ids from different feeders ('b%06d' replay vs
+        'stream-<sha12>-<epoch>' tails, or two streams with different
+        checkpoint namespaces) interleave wrongly under a lexicographic
+        sort, which could misidentify the head batches and derive a
+        watermark far too high — GC'ing tombstones that stragglers could
+        still resurrect (ADVICE r3 #1).
+
         One tiny agg over the lineage table (rows ∝ batches x partitions,
         collected as one row per batch) — driver metadata scale."""
         rows = sorted(
             self.lineage()
             .groupBy("batch_id")
-            .agg(F.max("max_seq").alias("mx"), F.min("min_seq").alias("mn"))
+            .agg(
+                F.max("max_seq").alias("mx"),
+                F.min("min_seq").alias("mn"),
+                F.max("committed_at").alias("ct"),
+            )
             .collect(),
-            key=lambda r: r["batch_id"],
+            key=lambda r: (r["ct"] if r["ct"] is not None else float("-inf"), r["batch_id"]),
         )
         if len(rows) <= lag_batches:
             return None

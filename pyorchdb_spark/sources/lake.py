@@ -341,14 +341,20 @@ class LakeTable:
         expired-start contract; the consumer must full-snapshot resync.
         """
         m = self.manifest(version)
-        if m is None or not m.files:
-            return self.spark.createDataFrame([], m.schema() if m else StructType())
-        if m.tombstone_watermark is not None and seq < m.tombstone_watermark:
+        # the staleness guard comes BEFORE the empty-files early return:
+        # a table compacted down to zero files (all keys deleted and
+        # GC'd) still has a manifest + watermark, and a consumer resuming
+        # below it must be told to full-resync, not handed an empty
+        # changeset that leaves already-deleted keys live forever
+        # (ADVICE r3 #5)
+        if m is not None and m.tombstone_watermark is not None and seq < m.tombstone_watermark:
             raise ValueError(
                 f"changes_since({seq}) starts below the tombstone GC watermark "
                 f"({m.tombstone_watermark}): deletes up to the watermark may be "
                 "physically gone — resync from a full snapshot() instead"
             )
+        if m is None or not m.files:
+            return self.spark.createDataFrame([], m.schema() if m else StructType())
         candidates = [
             f for f in m.files if f.get("seq_max") is None or f["seq_max"] > seq
         ]
@@ -818,10 +824,18 @@ class LakeTable:
         self,
         delta_fraction: float = 0.125,
         max_delta_files_per_group: int = 8,
-        tombstone_watermark_seq: int | None = None,
+        tombstone_watermark_seq: int | None = RETAIN_ALL_TOMBSTONES,
     ) -> Manifest:
         """Compact only bucket groups whose delta backlog exceeds a bound
         — the Iceberg/Hudi file-group shape (VERDICT r2 #5).
+
+        Unlike full ``compact`` (whose documented ``None`` default drops
+        all tombstones — an end-of-stream operation), the default here is
+        ``RETAIN_ALL_TOMBSTONES``: partial compaction exists precisely
+        for mid-stream use, where dropping tombstones without recording a
+        manifest watermark would let straggler upserts resurrect deleted
+        keys and let CDC consumers miss deletes (ADVICE r3 #2). Pass an
+        explicit watermark (or ``None`` to drop all) to GC tombstones.
 
         Full ``compact`` rewrites the whole table; at the 10^10-row design
         point that stalls the tail for hours even when one hot bucket

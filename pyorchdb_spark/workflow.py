@@ -69,6 +69,23 @@ class WorkflowConfig:
     match_cols: int = 2
 
 
+def _table_rows(lake, manifest) -> int:
+    """Live row count for an uploaded table.
+
+    Manifest arithmetic (sum of per-file footer counts — zero scan) is
+    exact only for a pure-upsert CoW table; if another writer landed MoR
+    delta commits, physical rows include superseded versions and the sum
+    OVERSTATES table size (ADVICE r3 #3). Deltas are visible in the
+    manifest, so detect them and fall back to ``snapshot().count()`` (one
+    LWW-resolved scan) instead of counting wrong. (CoW-retained foreign
+    tombstones are NOT manifest-detectable; that residual case is the
+    documented limit of the zero-scan path.)"""
+    files = manifest.files
+    if any(f.get("delta") for f in files):
+        return int(lake.snapshot().count())
+    return sum(f["rows"] for f in files)
+
+
 def map_table_name(
     name: str, mapping: dict[str, "str | dict[str, str]"], default_name: bool = False
 ) -> str:
@@ -272,9 +289,7 @@ class ETLWorkflow:
             ledger = BatchLedger(self.spark, root)
             batch_id = f"upload-{name}"
             if ledger.is_committed(batch_id):
-                # row count from manifest arithmetic — no table scan
-                # (upload tables are upsert-only: no tombstones stored)
-                rows[name] = sum(f["rows"] for f in lake.manifest().files)
+                rows[name] = _table_rows(lake, lake.manifest())
                 continue
             # adapt a keyed table to the CDC envelope: synthetic seq/op.
             # seq is derived from row CONTENT (xxhash64 of every column),
@@ -288,8 +303,10 @@ class ETLWorkflow:
             manifest = lake.merge(ev, batch_id=batch_id)
             # table rows from the manifest (footer-derived) — the old
             # snapshot().count() + df.count() pair cost two extra table
-            # scans per table in the facade path (VERDICT r2, minor #4)
-            table_rows = sum(f["rows"] for f in manifest.files)
+            # scans per table in the facade path (VERDICT r2, minor #4);
+            # NB the marker's rows_in records TABLE rows here (idempotent
+            # re-upload has no distinct "input rows" notion)
+            table_rows = _table_rows(lake, manifest)
             ledger.commit_marker(batch_id, manifest.version, rows_in=table_rows)
             rows[name] = table_rows
         return rows

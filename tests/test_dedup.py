@@ -122,3 +122,52 @@ def test_fused_merge_under_extreme_skew(spark, tmp_path):
     assert states["plain"] == states["salted"]
     assert ("hot.py", "v49999") in states["plain"]
     assert len(states["plain"]) == 10_001
+
+
+def test_choose_salt_strategy_uniform_vs_hot(spark):
+    """VERDICT r3 next #2: the adaptive chooser must keep uniform feeds
+    on the plain path (salting cost 1.5x there for nothing) and salt
+    hot-key feeds with S scaled to the measured share."""
+    from pyorchdb_spark.operators.dedup import choose_salt_strategy
+
+    # uniform: ~3 events per key, no key dominates
+    uniform = change_events(spark, 30_000, batch_size=30_000)
+    salted, n_salts = choose_salt_strategy(uniform)
+    assert salted is False
+
+    # hot: one key holds half the events
+    hot = spark.range(15_000).selectExpr(
+        "'hotrepo' AS repo", "'hot.py' AS path", "concat('c', id) AS commit",
+        "id AS seq", "'upsert' AS op",
+    )
+    cold = spark.range(15_000).selectExpr(
+        "'r' AS repo", "concat('f', id, '.py') AS path", "concat('k', id) AS commit",
+        "id + 100000 AS seq", "'upsert' AS op",
+    )
+    salted, n_salts = choose_salt_strategy(hot.unionByName(cold))
+    assert salted is True
+    # hot_share ~0.5, P=8 -> want ~5 -> clamped to the 8 floor (pow2)
+    assert n_salts >= 8 and (n_salts & (n_salts - 1)) == 0
+
+    # tiny input: not enough evidence -> plain
+    salted, _ = choose_salt_strategy(hot.limit(100))
+    assert salted is False
+
+
+def test_replay_salt_auto_matches_plain_state(spark, tmp_path):
+    """salted='auto' replay must reproduce the exact plain-replay state
+    (strategy choice is a plan decision, never a semantics one)."""
+    from pyorchdb_spark.ingest import replay
+    from pyorchdb_spark.sources.catalog import BatchLedger
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    ev = change_events(spark, 4_000, batch_size=2_000)
+    sigs = {}
+    for label, salted in (("plain", False), ("auto", "auto")):
+        root = str(tmp_path / label)
+        lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+        replay(lake, ledger, ev, salted=salted, num_files=4)
+        sigs[label] = {
+            tuple(r) for r in lake.snapshot().select("repo", "path", "content_sha256").collect()
+        }
+    assert sigs["plain"] == sigs["auto"]

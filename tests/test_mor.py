@@ -306,3 +306,88 @@ def test_partial_compaction_noop_below_bounds(spark, tmp_path):
     m = lake.compact_partial(delta_fraction=0.99, max_delta_files_per_group=100)
     assert m.version == v  # unchanged manifest returned
     assert any(f.get("delta") for f in m.files)
+
+
+def test_low_watermark_orders_by_commit_time_not_batch_id(spark, tmp_path):
+    """ADVICE r3 #1: batches from heterogeneous feeders ('b%06d' replay +
+    'stream-<sha>-<epoch>' tails) do NOT sort in time order
+    lexicographically; low_watermark must order them by the durable
+    committed_at ordinal recorded in lineage."""
+    root = str(tmp_path / "t")
+    ledger = BatchLedger(spark, root)
+
+    def rec(batch_id, mn, mx):
+        ledger.record_lineage(
+            batch_id,
+            [{"partition_id": 0, "rows_in": mx - mn + 1, "tombstones": 0,
+              "max_seq": mx, "min_seq": mn}],
+            table_rows_after=0,
+        )
+
+    # COMMIT order (time): stream, stream, replay, replay — seqs increase
+    # with time. Lexicographic order would be [b000001, b000002,
+    # stream-a..., stream-b...], i.e. the two replay batches (the NEWEST)
+    # misfiled as the oldest.
+    rec("stream-aaaa-100", 1, 100)
+    rec("stream-bbbb-200", 101, 200)
+    rec("b000001", 201, 300)
+    rec("b000002", 301, 400)
+
+    # commit-time order, lag=2: body = the two stream batches -> w =
+    # max(100, 200) = 200; head mins cap = min(201, 301) - 1 = 200.
+    assert ledger.low_watermark(lag_batches=2) == 200
+    # (a lexicographic sort would put b000001/b000002 in the body ->
+    # w = 400, capped by min(1, 101) - 1 = 0 — wrong either way)
+
+
+def test_compact_partial_default_retains_tombstones(spark, tmp_path):
+    """ADVICE r3 #2: compact_partial exists for MID-stream use, so its
+    default must retain tombstones (RETAIN_ALL_TOMBSTONES) — a direct
+    library call during active ingest must not silently GC deletes."""
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 2_000, batch_size=2_000)
+    replay(lake, ledger, ev, num_files=4)
+
+    victim = lake.snapshot().orderBy("repo", "path").limit(1).collect()[0]
+    delete = _one_event(ev, victim.repo, victim.path, 10_000_000, "delete",
+                        "", "zdel", lang=victim.lang)
+    lake.merge(delete, batch_id="zdel", mor=True)
+    n_tomb = lake.snapshot(include_tombstones=True).filter(F.col("op") == "delete").count()
+    assert n_tomb >= 1
+
+    m = lake.compact_partial(delta_fraction=0.0)  # defaults: no watermark passed
+    assert not any(f.get("delta") for f in m.files)  # deltas folded
+    # every tombstone survived the fold, and no GC watermark was recorded
+    assert (
+        lake.snapshot(include_tombstones=True).filter(F.col("op") == "delete").count() == n_tomb
+    )
+    assert m.tombstone_watermark is None
+
+
+def test_changes_since_guards_watermark_on_empty_table(spark, tmp_path):
+    """ADVICE r3 #5: a table compacted down to ZERO files (every key
+    deleted and GC'd) must still refuse changes_since below its tombstone
+    watermark — an empty changeset would leave the consumer holding
+    deleted keys forever."""
+    root = str(tmp_path / "t")
+    lake, ledger = LakeTable(spark, root), BatchLedger(spark, root)
+    ev = change_events(spark, 500, batch_size=500)
+    replay(lake, ledger, ev, num_files=2)
+
+    live = lake.snapshot().select("repo", "path", "lang").collect()
+    deletes = None
+    for i, r in enumerate(live):
+        d = _one_event(ev, r.repo, r.path, 20_000_000 + i, "delete", "", "zkill", lang=r.lang)
+        deletes = d if deletes is None else deletes.unionByName(d)
+    lake.merge(deletes, batch_id="zkill", mor=True)
+    m = lake.compact(tombstone_watermark_seq=30_000_000)
+    assert not m.files  # all keys dead and GC'd -> zero data files
+    assert m.tombstone_watermark == 30_000_000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="below the tombstone GC watermark"):
+        lake.changes_since(10)
+    # at/above the watermark: empty changeset is fine
+    assert lake.changes_since(30_000_000).count() == 0

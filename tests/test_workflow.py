@@ -185,3 +185,37 @@ def test_standalone_upload_without_build(spark, tmp_path):
     assert wf2.upload(str(tmp_path / "lake_standalone"),
                       keys=["product_name", "periodo"],
                       processed_dir=processed) == rows_full
+
+
+def test_upload_row_count_falls_back_on_foreign_deltas(spark, tmp_path):
+    """ADVICE r3 #3: upload()'s zero-scan manifest row count is exact
+    only for pure-upsert CoW tables; when a foreign writer lands MoR
+    delta commits, the physical sum counts superseded versions — the
+    count must fall back to the LWW-resolved snapshot count."""
+    from pyspark.sql import functions as F
+
+    from pyorchdb_spark.sources.lake import LakeTable
+    from pyorchdb_spark.workflow import _table_rows
+
+    paths = _write_messy_csvs(tmp_path)
+    wf = ETLWorkflow(spark, WorkflowConfig(columns_to_rename={"qty": "quantity"}))
+    wf.build(paths).curate()
+    wf.upload(str(tmp_path / "lake"), keys=["product_name", "periodo"])
+
+    # a foreign writer re-upserts one existing key as a MoR delta commit
+    lake = LakeTable(spark, str(tmp_path / "lake" / "sales_feb"),
+                     keys=["product_name", "periodo"])
+    n_live = lake.snapshot().count()
+    one = lake.snapshot().limit(1)
+    foreign = one.withColumn("seq", F.lit(10**15).cast("long")).withColumn(
+        "op", F.lit("upsert")
+    )
+    m = lake.merge(foreign, batch_id="foreign-delta", mor=True)
+    assert any(f.get("delta") for f in m.files)
+    physical = sum(f["rows"] for f in m.files)
+    assert physical == n_live + 1  # superseded version double-counted
+    assert _table_rows(lake, m) == n_live  # fallback counts live rows
+
+    # idempotent re-upload reports the accurate count, not the physical sum
+    rows = wf.upload(str(tmp_path / "lake"), keys=["product_name", "periodo"])
+    assert rows["sales_feb"] == n_live
