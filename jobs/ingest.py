@@ -90,7 +90,9 @@ def cmd_replay(args) -> dict:
     if args.mode == "stream":
         ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
         run_tail_to_completion(
-            spark, args.events, lake, ledger, ckpt, salted=args.salted, num_files=args.num_files
+            spark, args.events, lake, ledger, ckpt, salted=args.salted,
+            num_files=args.num_files, mor=args.mor,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
     else:
         salted: bool | str = args.salted
@@ -261,6 +263,9 @@ def main(argv=None) -> None:
                         "(overrides --salted)")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--num-files", type=int, default=None)
+    r.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="stream mode: bound each micro-batch to this many "
+                        "source files (availableNow splits the backlog)")
     r.add_argument("--coalesce-batches", action="store_true")
     r.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     r.add_argument("--mor", action="store_true",

@@ -108,12 +108,27 @@ def apply_batch(
     cache_batch: bool = False,
     jvm_only_udfs: bool = False,
     mor: bool = False,
+    fuse_metrics: bool = False,
+    rows_hint: int | None = None,
 ) -> ApplyResult:
     """Apply one batch idempotently. Safe to call twice with the same id.
 
     ``mor=True`` routes the merge through the delta-append path
     (sources/lake.py merge-on-read): bytes written per batch stay
     proportional to the batch, never to the table.
+
+    ``fuse_metrics=True`` (batch-mode MoR only): attach the lineage/
+    quarantine aggregates to the merge-write plan as an ``Observation``
+    instead of running them as their own Spark job — the whole batch then
+    costs ONE Spark job. On this box a minimal 2-stage job floors at
+    ~0.3s of pure scheduling, so at the 10^4-micro-batch design point the
+    second job is the single largest per-batch fixed cost (VERDICT r3
+    next #3). Not used from the streaming tail: observations never fire
+    on plans derived from a foreachBatch DataFrame (they would hang).
+    CoW batches can't fuse either — the affected-bucket hit set must be
+    known BEFORE the merge plan is built. ``rows_hint`` (e.g. the
+    previous batch's row count) sizes the delta's bucket generation since
+    the fused path learns the true count only after the write.
     """
     if ledger.is_committed(batch_id):
         return ApplyResult(batch_id, skipped=True, version=None, rows_in=0, table_rows_after=0)
@@ -132,6 +147,11 @@ def apply_batch(
     reason = invalid_reason(
         lake.keys, watermark_seq=m.tombstone_watermark if m is not None else None
     )
+    if fuse_metrics and mor and m is not None and m.files:
+        return _apply_batch_fused(
+            lake, ledger, prepared, batch_id, m, reason,
+            salted=salted, n_salts=n_salts, rows_hint=rows_hint,
+        )
     metrics = ledger.collect_partition_metrics(
         prepared,
         invalid_reason=reason,
@@ -194,6 +214,91 @@ def apply_batch(
     )
 
 
+def _apply_batch_fused(
+    lake: LakeTable,
+    ledger: BatchLedger,
+    prepared: DataFrame,
+    batch_id: str,
+    m,
+    reason,
+    *,
+    salted: bool = False,
+    n_salts: int = 16,
+    rows_hint: int | None = None,
+) -> ApplyResult:
+    """ONE-job batch apply (MoR delta path): lineage/quarantine aggregates
+    ride the merge-write plan as an ``Observation`` — no separate metrics
+    job. See ``apply_batch(fuse_metrics=True)`` for when this is legal.
+
+    Lineage granularity is one row per batch (partition_id = -1): the
+    observation yields global aggregates, and per-file granularity for
+    the batch is already durable in the manifest's delta entries (rows +
+    footer seq ranges per bucket file). ``low_watermark`` groups lineage
+    by batch_id, so the watermark derivation is unchanged. The rare
+    reject path (n_invalid > 0) pays one extra job to materialize the
+    quarantined rows — clean batches stay at one job."""
+    from pyspark.sql import Observation
+
+    seq_valid = F.when(reason.isNull(), F.col("seq"))
+    obs = Observation()
+    observed = prepared.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(reason.isNotNull().cast("long")).alias("n_invalid"),
+        F.sum((reason.isNull() & (F.col("op") == "delete")).cast("long")).alias("tombstones"),
+        F.max(seq_valid).alias("max_seq"),
+        F.min(seq_valid).alias("min_seq"),
+    )
+    manifest = lake.merge(
+        observed.filter(reason.isNull()),
+        batch_id=batch_id,
+        salted=salted,
+        n_salts=n_salts,
+        mor=True,
+        rows_hint=rows_hint,
+        manifest=m,
+    )
+    try:
+        got = obs.get
+        metrics = [
+            {
+                "partition_id": -1,
+                "rows_in": int(got["rows_in"] or 0),
+                "tombstones": got["tombstones"],
+                "max_seq": got["max_seq"],
+                "min_seq": got["min_seq"],
+            }
+        ]
+        rejected = int(got["n_invalid"] or 0)
+    except Exception:
+        # The observation can come back EMPTY (pyspark's conversion then
+        # raises): when every row of a literal-sourced batch folds away
+        # at optimization time (e.g. a single straggler quarantined by
+        # the below-watermark predicate), Catalyst collapses the plan to
+        # an empty LocalRelation and the CollectMetrics node never
+        # executes. Such batches are degenerate by construction, so pay
+        # one explicit (tiny) metrics job for them; clean batches stay
+        # at one job.
+        metrics = ledger.collect_partition_metrics(prepared, invalid_reason=reason)
+        rejected = int(sum(r["n_invalid"] for r in metrics))
+    if rejected:
+        ledger.record_rejects(
+            batch_id,
+            prepared.withColumn("reject_reason", reason).filter(F.col("reject_reason").isNotNull()),
+        )
+    table_rows = sum(f["rows"] for f in manifest.files)
+    rows_in = ledger.record_lineage(batch_id, metrics, table_rows_after=table_rows)
+    ledger.commit_marker(batch_id, manifest.version, rows_in)
+    return ApplyResult(
+        batch_id,
+        skipped=False,
+        version=manifest.version,
+        rows_in=rows_in,
+        table_rows_after=table_rows,
+        rows_rejected=rejected,
+    )
+
+
 def replay(
     lake: LakeTable,
     ledger: BatchLedger,
@@ -237,21 +342,29 @@ def replay(
         salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
+    prev_rows: int | None = None
     for b in batch_ids:
-        results.append(
-            apply_batch(
-                lake,
-                ledger,
-                events.filter(F.col("batch_id") == b),
-                b,
-                salted=salted,
-                n_salts=n_salts,
-                num_files=num_files,
-                cache_batch=cache_batch,
-                jvm_only_udfs=jvm_only_udfs,
-                mor=mor,
-            )
+        res = apply_batch(
+            lake,
+            ledger,
+            events.filter(F.col("batch_id") == b),
+            b,
+            salted=salted,
+            n_salts=n_salts,
+            num_files=num_files,
+            cache_batch=cache_batch,
+            jvm_only_udfs=jvm_only_udfs,
+            mor=mor,
+            # batch mode: lineage aggregates ride the merge plan (ONE
+            # Spark job per clean batch); the previous batch's row count
+            # sizes the delta generation (replay feeds are near-constant
+            # batch size, and the hint only picks a power-of-two layout)
+            fuse_metrics=True,
+            rows_hint=prev_rows,
         )
+        if not res.skipped and res.rows_in:
+            prev_rows = res.rows_in
+        results.append(res)
         if mor:
             m = lake.manifest()
             delta_commits = len({f["path"].split("/")[1] for f in m.files if f.get("delta")})

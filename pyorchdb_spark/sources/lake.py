@@ -595,7 +595,9 @@ class LakeTable:
         """
         m = manifest if manifest is not None else self.manifest()
         if mor and m is not None and m.files:
-            return self._merge_mor(m, source_events, batch_id, salted=salted, n_salts=n_salts)
+            return self._merge_mor(
+                m, source_events, batch_id, salted=salted, n_salts=n_salts, rows_hint=rows_hint
+            )
         version = (m.version if m else 0) + 1
         # Bucket generation carries forward from the table (splits may
         # raise it); a fresh table sizes it from volume.
@@ -659,12 +661,32 @@ class LakeTable:
         *,
         salted: bool = False,
         n_salts: int = 16,
+        rows_hint: int | None = None,
     ) -> Manifest:
-        """Delta commit: write the batch's LWW winners, touch no base file."""
+        """Delta commit: write the batch's LWW winners, touch no base file.
+
+        The delta's bucket GENERATION is sized from the batch volume
+        (``rows_hint``, known free from the caller's fused metrics pass):
+        a micro-batch far smaller than the table writes at
+        ``nb_delta = next_pow2(rows / target_rows_per_file)`` instead of
+        the table's full ``n_buckets`` — generations nest (pmod(h, 2n)
+        refines pmod(h, n)), so snapshot/lookup/compaction already
+        resolve mixed-nb files. At the 10^4-micro-batch design point this
+        is the difference between ~n_buckets tiny files + shuffle tasks
+        PER BATCH and a handful sized to target_rows_per_file (the
+        Iceberg/Hudi commit shape: write few well-sized files, let
+        compaction re-bucket). Floored at min(n_buckets, 8) so partial
+        compaction keeps >= 8 disjoint key-closure groups (its grouping
+        is bucket % min(nb) — an nb=1 delta would collapse every fold
+        into a full rewrite)."""
         from pyorchdb_spark.operators.dedup import lww_dedup_bucketed, lww_salt_prestage
 
         version = m.version + 1
-        n_buckets = m.n_buckets or self._initial_buckets(None, None)
+        table_nb = m.n_buckets or self._initial_buckets(None, None)
+        nb_delta = table_nb
+        if rows_hint:
+            sized = _next_pow2(max(1, rows_hint // self.target_rows_per_file))
+            nb_delta = max(min(table_nb, sized), min(table_nb, 8))
         new_schema = self._evolve_schema(m.schema(), source_events.schema)
         # align the batch to the evolved schema (additive evolution: a
         # column the batch lacks is null; older stored files gain it as
@@ -678,8 +700,8 @@ class LakeTable:
         )
         if salted:
             batch = lww_salt_prestage(batch, keys=self.keys, n_salts=n_salts)
-        merged = lww_dedup_bucketed(batch, n_buckets, keys=self.keys)
-        new_files = self._write_data_files(merged, version, n_buckets, pre_bucketed=True)
+        merged = lww_dedup_bucketed(batch, nb_delta, keys=self.keys)
+        new_files = self._write_data_files(merged, version, nb_delta, pre_bucketed=True)
         for f in new_files:
             f["delta"] = True
         manifest = Manifest(
@@ -688,7 +710,10 @@ class LakeTable:
             batch_id=batch_id,
             schema_json=json.dumps(new_schema.jsonValue()),
             files=sorted(m.files + new_files, key=lambda f: f["path"]),
-            n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
+            # n_buckets stays the TABLE's top generation: a small delta
+            # must never shrink the recorded layout (in-commit splitting
+            # inside _write_data_files can still raise it)
+            n_buckets=max([table_nb] + [f["nb"] for f in new_files]),
             tombstone_watermark=m.tombstone_watermark,
         )
         try:
