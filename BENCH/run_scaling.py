@@ -144,6 +144,12 @@ CONFIGS = [
      ["--mor"]),
     ("mor_fixed64", "pandas-UDF sha256, incremental MoR replay, shuffle width fixed at 64",
      ["--mor", "--shuffle-partitions", "64"]),
+    # adaptive skew strategy (round 4): one sampled key-frequency job
+    # picks plain/salted + n_salts; on the generator's near-uniform keys
+    # it must match plain-replay throughput (static always-on salting
+    # measured a 1.5x penalty here in round 3)
+    ("auto_salt_multi", "pandas-UDF sha256, incremental 4-batch replay, --salt auto",
+     ["--salt", "auto"]),
 ]
 
 
