@@ -726,6 +726,22 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals (functions/text.py
+    repetition_stats): duplicate-line fraction (pure array exprs) and
+    top-2-gram mass (explode -> two partial aggs). Exact ratios of
+    integer counts, so the value hash is float-safe after 9dp round."""
+    from pyorchdb_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("top_2gram_frac", 9).alias("top_2gram_frac"),
+    )
+
+
 def q_normalize_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalize_path pandas UDF, oracle-checked: synthesize noisy paths
     from the documents table, normalize, compare against the regexp form."""
@@ -905,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
+        "repetition_stats": q_repetition_stats,
         "clean_values": q_clean_values,
         "fingerprint": q_fingerprint,
         "normalize_paths": q_normalize_paths,
@@ -1470,6 +1487,30 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN mean_len BETWEEN 2.0 AND 15.0 THEN 1.0 ELSE 0.0 END
                    ) / 4.0 AS quality
             FROM t
+        """,
+        "repetition_stats": """
+            WITH lines AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, list_extract(t, i) || ' ' || list_extract(t, i + 1) AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            tc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tg FROM tc GROUP BY 1
+            )
+            SELECT lines.doc_id,
+                   round(CASE WHEN len(l) > 0
+                         THEN CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l)
+                         ELSE 0.0 END, 9) AS dup_line_frac,
+                   round(COALESCE(tg, 0.0), 9) AS top_2gram_frac
+            FROM lines LEFT JOIN top USING (doc_id)
         """,
         "clean_values": """
             SELECT doc_id,

@@ -163,3 +163,50 @@ def scrub_pii(col) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def repetition_stats(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher-style intra-document repetition signals (round 4) — the
+    quality filters that catch boilerplate-heavy / degenerate docs which
+    per-token stats miss (Rae et al., Gopher, arXiv:2112.11446 §A1.1):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of
+      another line in the same doc — pure array expressions
+      (split / array_distinct / size), whole-stage codegen, no shuffle.
+    - ``top_2gram_frac``: share of all word 2-grams taken by the most
+      frequent one — explode → two partial-aggregated groupBys, the
+      standard scale plan (per-doc gram counts never materialize on the
+      driver, and both shuffles carry (doc_id, gram) thin rows).
+
+    Left-joins back so docs with < 2 tokens report 0.0, not NULL.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    dup_line = F.when(nl > 0, (nl - nd).cast("double") / nl).otherwise(F.lit(0.0))
+    base = docs.select(F.col(id_col), dup_line.alias("dup_line_frac"))
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size(toks)),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i - F.lit(1)), F.element_at(toks, i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_2gram_frac"))
+    )
+    return base.join(top, id_col, "left").fillna({"top_2gram_frac": 0.0})

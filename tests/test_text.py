@@ -112,3 +112,26 @@ def test_ngram_contamination_semantics(spark):
     assert out[1]["contamination"] == 1.0 and out[1]["n_grams"] == 3
     assert out[2]["n_grams"] == 4 and out[2]["n_contaminated"] == 1
     assert out[3]["n_contaminated"] == 0 and out[3]["contamination"] == 0.0
+
+
+def test_repetition_stats_known_values(spark):
+    from pyorchdb_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),              # 2-grams: ab, ba, ab -> top 2/3; one line, no dup
+            (2, "x\nx\ny"),              # 3 lines, 2 distinct -> dup 1/3; grams: 'x x','x y'
+            (3, "solo"),                  # <2 tokens -> 0.0 grams
+            (4, ""),                      # empty: one empty line, no grams
+            (5, None),                    # NULL text -> both 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert abs(got[1]["top_2gram_frac"] - 2 / 3) < 1e-9
+    assert got[1]["dup_line_frac"] == 0.0
+    assert abs(got[2]["dup_line_frac"] - 1 / 3) < 1e-9
+    assert got[2]["top_2gram_frac"] == 0.5  # 'x x' and 'x y' once each -> 1/2
+    assert got[3]["top_2gram_frac"] == 0.0 and got[3]["dup_line_frac"] == 0.0
+    assert got[4]["top_2gram_frac"] == 0.0 and got[4]["dup_line_frac"] == 0.0
+    assert got[5]["top_2gram_frac"] == 0.0 and got[5]["dup_line_frac"] == 0.0
