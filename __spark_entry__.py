@@ -511,6 +511,269 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+    order revenue per year — two-level conditional aggregation over a
+    seven-table join (part/region filters pushed to their scans, both
+    nation roles broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_12", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema: profit per supplier nation
+    and year over parts matching a name pattern.  The schema has no
+    partsupp, so supply cost is proxied as ``0.6 * p_retailprice *
+    l_quantity`` — deterministic and engine-neutral (stated in the oracle
+    identically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        # exact decimal accumulation, ONE final conversion (q10 pattern)
+        .agg(F.sum(profit).cast("decimal(28,4)").cast("double").alias("sum_profit"))
+    )
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode/l_receiptdate): among
+    lineitems shipped more than 60 days after their order date in 1996-97,
+    count critical- vs normal-priority orders per return flag — the
+    conditional dual count over a fact join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer —
+    LEFT OUTER join (customers with no orders count as 0) with a join-side
+    predicate, then a second aggregation over the first's result."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a derived aggregate joined against its own maximum (the
+    max side is a 1-row broadcast equi-join, not a nested-loop)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("decimal(28,4)").cast("double")
+        .alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's parts were not taken — the correlated AVG
+    subquery decorrelated into a per-part aggregate joined back."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    # restrict lineitem to the brand's parts FIRST (broadcast semi-ish
+    # inner join on the pruned part list), then decorrelate the per-part
+    # average over that small subset only
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li_brand.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li_brand.join(F.broadcast(avg_q), li_brand.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with any single order totalling more
+    than 300 units — HAVING over a fact aggregate, joined up to the
+    order/customer detail, deterministic top-100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    windows — the disjunctive mixed-column predicate (part attributes
+    AND lineitem attributes inside each disjunct) that exercises
+    post-join filter placement."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("decimal(28,4)").cast("double")
+        .alias("revenue")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (lateness = shipped >90 days after order
+    date; no receipt/commit dates in this schema): suppliers who were the
+    SOLE late shipper on a finished multi-supplier order — EXISTS
+    (another supplier shipped the order) AND NOT EXISTS (another supplier
+    shipped late), as one semi and one anti hash join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+        )
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = lo.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = lo.filter(F.col("late")).select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    return (
+        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti")
+        .join(sup, l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted (no c_phone: nation keys stand in for the
+    country-code substring): per selected nation, customers with an
+    above-average positive balance and NO orders — scalar aggregate
+    threshold + NOT EXISTS as a left-anti join."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    # scalar-subquery materialization: one bounded driver scalar (the
+    # same thing Catalyst does internally for an uncorrelated scalar
+    # subquery), NOT a data collect
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).first()[0]
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC history projections (SCD2 / transitions)
+# --------------------------------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type state over the changelog
+    (operators/scd.py): consecutive identical states collapse into one
+    half-open [valid_from, valid_to) version row."""
+    from pyorchdb_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key_cols=["user_id"], seq_col="event_id", state_cols=["event_type"]
+    ).select("user_id", "event_type", "valid_from_seq", "valid_to_seq", "is_current")
+
+
+def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event_type transition counts over each user's
+    sequence-ordered changelog (operators/scd.py transition_counts)."""
+    from pyorchdb_spark.operators.scd import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(ev, key_cols=["user_id"], seq_col="event_id", state_col="event_type")
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -905,6 +1168,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
         "q14_promo_revenue": q14_promo_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_late_priority": q12_late_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_idle_balances": q22_idle_balances,
+        "scd2_history": q_scd2_history,
+        "state_transitions": q_state_transitions,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
@@ -1200,6 +1475,165 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_12'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                      - 0.6 * p_retailprice * l_quantity
+                                      AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "q12_late_priority": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                        AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q17_small_quantity": """
+            WITH li_brand AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#11'
+            ), avg_q AS (
+              SELECT l_partkey AS ap_key, 0.2 * avg(l_quantity) AS qty_limit
+              FROM li_brand GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM li_brand JOIN avg_q ON l_partkey = ap_key
+            WHERE l_quantity < qty_limit
+        """,
+        "q18_large_volume": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q19_discounted_revenue": """
+            SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_supplier": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM lo l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lo l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "q22_idle_balances": """
+            SELECT c_nationkey AS cntrycode,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0
+                                 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "scd2_history": """
+            WITH runs AS (
+              SELECT user_id, event_type, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), v AS (
+              SELECT user_id, event_type, event_id AS valid_from_seq,
+                     lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS valid_to_seq
+              FROM runs WHERE chg = 1
+            )
+            SELECT user_id, event_type, valid_from_seq, valid_to_seq,
+                   valid_to_seq IS NULL AS is_current
+            FROM v
+        """,
+        "state_transitions": """
+            SELECT prev_state, next_state, count(*) AS n_transitions FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_state,
+                     event_type AS next_state
+              FROM events
+            ) WHERE prev_state IS NOT NULL
+            GROUP BY prev_state, next_state
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,

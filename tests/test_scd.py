@@ -1,0 +1,69 @@
+"""SCD2 history build / point-in-time read / transition counts
+(operators/scd.py) — exact semantics on hand-built changelogs, plus a
+plan-shape check that the two window passes share one shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.operators.scd import scd2_history, state_asof, transition_counts
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    # user 1: a->a->b->b->a  (runs: a@1, b@3, a@5)
+    # user 2: x              (single open version)
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        (2, 10, "x"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, seq int, state string")
+
+
+def test_scd2_collapses_noop_updates(changelog):
+    hist = scd2_history(changelog, ["user_id"], "seq", ["state"])
+    got = {
+        (r.user_id, r.valid_from_seq): (r.state, r.valid_to_seq, r.is_current)
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("a", 3, False),
+        (1, 3): ("b", 5, False),
+        (1, 5): ("a", None, True),
+        (2, 10): ("x", None, True),
+    }
+
+
+def test_scd2_asof_read(changelog):
+    hist = scd2_history(changelog, ["user_id"], "seq", ["state"])
+    # at seq 4 user 1 is in the b-version [3, 5); user 2 not yet born
+    asof4 = {(r.user_id): r.state for r in state_asof(hist, 4).collect()}
+    assert asof4 == {1: "b"}
+    # at seq 10 both current versions are visible
+    asof10 = {(r.user_id): r.state for r in state_asof(hist, 10).collect()}
+    assert asof10 == {1: "a", 2: "x"}
+
+
+def test_scd2_multi_state_columns(spark):
+    rows = [(1, 1, "a", 10), (1, 2, "a", 10), (1, 3, "a", 20)]
+    df = spark.createDataFrame(rows, "k int, seq int, s string, v int")
+    hist = scd2_history(df, ["k"], "seq", ["s", "v"])
+    # v changed at seq 3 even though s did not -> two versions
+    assert sorted(r.valid_from_seq for r in hist.collect()) == [1, 3]
+
+
+def test_transition_counts(changelog):
+    got = {
+        (r.prev_state, r.next_state): r.n_transitions
+        for r in transition_counts(changelog, ["user_id"], "seq", "state").collect()
+    }
+    # user 1 pairs: (a,a) (a,b) (b,b) (b,a); user 2 contributes none
+    assert got == {("a", "a"): 1, ("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_scd2_single_shuffle(changelog):
+    """Both window passes run off ONE exchange on the key columns."""
+    hist = scd2_history(changelog, ["user_id"], "seq", ["state"])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
