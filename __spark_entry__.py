@@ -765,6 +765,28 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "valid_from_seq", "valid_to_seq", "is_current")
 
 
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd.py scd2_apply_batch):
+    build history from the first two-thirds of the changelog (by global
+    sequence — per-key monotone by construction, the contract the replay
+    path guarantees), then fold in the rest as a batch.  The oracle is
+    the full-log rebuild — incremental maintenance must be
+    indistinguishable from it."""
+    from pyorchdb_spark.operators.scd import scd2_apply_batch, scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    # bounded driver scalar (split point), same pattern as q22's scalar
+    # subquery materialization
+    thr = ev.agg(F.floor(F.max("event_id") * 2 / 3).alias("t")).first()[0]
+    base = ev.filter(F.col("event_id") <= thr)
+    late = ev.filter(F.col("event_id") > thr)
+    hist = scd2_history(base, key_cols=["user_id"], seq_col="event_id", state_cols=["event_type"])
+    out = scd2_apply_batch(
+        hist, late, key_cols=["user_id"], seq_col="event_id", state_cols=["event_type"]
+    )
+    return out.select("user_id", "event_type", "valid_from_seq", "valid_to_seq", "is_current")
+
+
 def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event_type transition counts over each user's
     sequence-ordered changelog (operators/scd.py transition_counts)."""
@@ -1179,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_idle_balances": q22_idle_balances,
         "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
         "state_transitions": q_state_transitions,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1226,6 +1249,26 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+# SCD2 full-log rebuild: also the oracle for the INCREMENTAL path —
+# folding a batch into an existing history must match the rebuild.
+_SCD2_SQL = """
+    WITH runs AS (
+      SELECT user_id, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), v AS (
+      SELECT user_id, event_type, event_id AS valid_from_seq,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to_seq
+      FROM runs WHERE chg = 1
+    )
+    SELECT user_id, event_type, valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM v
 """
 
 _TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
@@ -1609,23 +1652,8 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY 1
         """,
-        "scd2_history": """
-            WITH runs AS (
-              SELECT user_id, event_type, event_id,
-                     CASE WHEN lag(event_type) OVER w IS NULL
-                               OR lag(event_type) OVER w <> event_type
-                          THEN 1 ELSE 0 END AS chg
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-            ), v AS (
-              SELECT user_id, event_type, event_id AS valid_from_seq,
-                     lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
-                       AS valid_to_seq
-              FROM runs WHERE chg = 1
-            )
-            SELECT user_id, event_type, valid_from_seq, valid_to_seq,
-                   valid_to_seq IS NULL AS is_current
-            FROM v
-        """,
+        "scd2_history": _SCD2_SQL,
+        "scd2_incremental": _SCD2_SQL,
         "state_transitions": """
             SELECT prev_state, next_state, count(*) AS n_transitions FROM (
               SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
