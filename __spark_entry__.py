@@ -800,6 +800,37 @@ def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
 
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram document frequencies, top 50 — the vocabulary/
+    boilerplate-discovery scan.  word_ngrams is per-doc DISTINCT, so the
+    count is document frequency, not term frequency.  One shuffle on the
+    gram with map-side partial counts; the top-k is TakeOrderedAndProject
+    (no global sort materialization)."""
+    from pyorchdb_spark.operators.dedup_docs import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_ngrams("text", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language — the grouped top-k (window
+    rank) shape: one shuffle on the group key, rank computed in the
+    sorted partition pass, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
@@ -1203,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "state_transitions": q_state_transitions,
+        "corpus_ngrams": q_corpus_ngrams,
+        "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
@@ -1662,6 +1695,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE prev_state IS NOT NULL
             GROUP BY prev_state, next_state
+        """,
+        "corpus_ngrams": f"""
+            SELECT gram, count(*) AS doc_freq FROM (
+              SELECT unnest({_SHINGLES3}) AS gram
+              FROM documents WHERE len({_TOKENS}) > 0
+            ) GROUP BY gram
+            ORDER BY doc_freq DESC, gram ASC LIMIT 50
+        """,
+        "topk_per_group": """
+            SELECT lang, doc_id, n_chars, rk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents
+            ) WHERE rk <= 3
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,
