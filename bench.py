@@ -99,6 +99,10 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
+        "q18_large_volume",
+        "q21_waiting_supplier",
+        "scd2_incremental",
+        "corpus_ngrams",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

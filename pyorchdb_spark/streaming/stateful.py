@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -226,6 +227,134 @@ def make_session_fn(
         ]
 
     return fn
+
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("open_from", LongType()),
+        StructField("open_state", StringType()),
+        StructField("last_seq", LongType()),
+    ]
+)
+
+
+def _scd2_output_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        key_fields
+        + [
+            StructField("state", StringType()),
+            StructField("valid_from_seq", LongType()),
+            StructField("valid_to_seq", LongType()),
+            StructField("is_current", BooleanType()),
+        ]
+    )
+
+
+def make_scd2_fn(
+    keys: Sequence[str] = ("user_id",),
+    seq_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """Build the applyInPandasWithState function for streaming SCD2.
+
+    The streaming half of ``operators/scd.py`` with the SAME contract:
+    per-key monotone sequences (the stale gate drops events at or below
+    the carried ``last_seq`` watermark — after no-op collapse they are
+    unreplayable, exactly as in ``scd2_apply_batch``).  Emits every
+    version CLOSED by this batch (``is_current=False``, terminal) plus a
+    snapshot of the open version (``is_current=True``); dedupe downstream
+    by (keys, valid_from_seq) preferring the closed row — the result is
+    byte-equal to batch ``scd2_history``
+    (tests/test_stateful_streaming.py::test_scd2_stream_matches_batch).
+    """
+
+    def fn(key: tuple, pdf_iter: Iterable[pd.DataFrame], state: Any):
+        if state.exists:
+            open_from, open_state, last_seq = state.get
+        else:
+            open_from = open_state = last_seq = None
+
+        # concatenate the group's Arrow chunks before sorting (same
+        # chunk-boundary rationale as make_session_fn)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            if open_from is not None:
+                state.update((open_from, open_state, last_seq))
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        d = whole.sort_values(seq_col, kind="mergesort")
+        if last_seq is not None:
+            d = d[d[seq_col] > last_seq]  # stale gate
+        if not len(d):
+            state.update((open_from, open_state, last_seq))
+            return
+
+        seqs = d[seq_col].to_numpy()
+        states = d[state_col].astype(object).to_numpy()
+        # vectorized change detection; the first row compares against the
+        # carried open state (None != anything -> change)
+        prev = [open_state] + list(states[:-1])
+        chg = [s != p for s, p in zip(states, prev)]
+        cp_from = [int(s) for s, c in zip(seqs, chg) if c]
+        cp_state = [str(s) for s, c in zip(states, chg) if c]
+        if open_from is not None:
+            all_from = [int(open_from), *cp_from]
+            all_state = [str(open_state), *cp_state]
+        else:
+            all_from, all_state = cp_from, cp_state
+
+        rows = [
+            (all_state[i], all_from[i], all_from[i + 1], False)
+            for i in range(len(all_from) - 1)
+        ]
+        rows.append((all_state[-1], all_from[-1], None, True))
+        state.update((all_from[-1], all_state[-1], int(seqs[-1])))
+
+        out = pd.DataFrame(
+            rows, columns=["state", "valid_from_seq", "valid_to_seq", "is_current"]
+        )
+        out["valid_to_seq"] = out["valid_to_seq"].astype("Int64")
+        for i, (name, k) in enumerate(zip(keys, key)):
+            out.insert(i, name, k)
+        yield out[list(keys) + ["state", "valid_from_seq", "valid_to_seq", "is_current"]]
+
+    return fn
+
+
+def scd2_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    seq_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming SCD2 history via applyInPandasWithState.
+
+    Use with ``outputMode("update")``; dedupe downstream by
+    (keys, valid_from_seq) preferring ``is_current=False`` (closed rows
+    are terminal; the open snapshot is re-emitted, unchanged content, on
+    every batch that brings the key fresh events).
+    Per-key state is a single 3-field tuple — O(keys), independent of
+    stream length — and the per-batch pass is one sort + vectorized
+    change detection over the batch slice.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = _scd2_output_schema(
+        [StructField(k, f.dataType) for k, f in zip(keys, key_fields)]
+    )
+    fn = make_scd2_fn(keys=keys, seq_col=seq_col, state_col=state_col)
+    return (
+        events.select(*keys, seq_col, state_col)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def sessionize_stream(

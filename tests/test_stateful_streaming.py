@@ -315,3 +315,60 @@ def test_session_fn_chunked_group_batch_equals_single_chunk():
         (TS(1970, 1, 1, 0, 1, 40), TS(1970, 1, 1, 0, 1, 45), 2, True),
         (TS(1970, 1, 1, 0, 16, 40), TS(1970, 1, 1, 0, 16, 40), 1, False),
     }
+
+
+def test_scd2_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The real events table as a seq-ordered stream of 4 micro-batch
+    files: streamed SCD2 versions == batch scd2_history, including runs
+    that span micro-batch boundaries (open version carried in state)."""
+    from pyorchdb_spark.operators.scd import scd2_history
+    from pyorchdb_spark.streaming.stateful import scd2_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type"
+    )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    log_dir = tmp_path / "scd_log"
+    log_dir.mkdir()
+    quarter = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : (i + 1) * quarter]
+        tbl = pa.table(
+            {
+                "user_id": pa.array(chunk["user_id"], pa.int64()),
+                "event_id": pa.array(chunk["event_id"], pa.int64()),
+                "event_type": pa.array(chunk["event_type"], pa.string()),
+            }
+        )
+        path = str(log_dir / f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir))
+    )
+    hist = scd2_stream(stream, keys=("user_id",))
+    mem = _run_stream(spark, hist, str(tmp_path / "scd_ckpt"))
+
+    # update-mode sink: per (key, valid_from) the closed row is terminal,
+    # otherwise the open snapshot (all identical re-emits) stands
+    final = mem.groupBy("user_id", "valid_from_seq").agg(
+        F.min_by("state", "is_current").alias("state"),
+        F.min_by("valid_to_seq", "is_current").alias("valid_to_seq"),
+        F.min("is_current").alias("is_current"),
+    )
+    got = {
+        (r["user_id"], r["valid_from_seq"], r["state"], r["valid_to_seq"], r["is_current"])
+        for r in final.collect()
+    }
+    exp = {
+        (r["user_id"], r["valid_from_seq"], r["event_type"], r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(ev, ["user_id"], "event_id", ["event_type"]).collect()
+    }
+    assert got == exp
+    # versions genuinely crossed micro-batch boundaries: some open
+    # snapshot later re-emitted or closed in another batch
+    multi = mem.groupBy("user_id", "valid_from_seq").count().filter("count > 1").count()
+    assert multi > 0
