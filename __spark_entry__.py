@@ -749,6 +749,135 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp table: the observed
+    part-supplier relation is derived from lineitem, unit cost =
+    min(l_extendedprice / l_quantity)): for STANDARD parts of small
+    size, the supplier in one region offering the minimum unit cost —
+    the correlated MIN subquery decorrelated into a per-part aggregate
+    joined back, all dimensions broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name", "p_size")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # part/supplier/nation/region are all tiny dims; the one big input
+    # (lineitem) is reduced to a (part, supp) cost relation in a single
+    # partial-aggregated shuffle before any join
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eur = (
+        cost.join(F.broadcast(sup), cost.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = eur.groupBy(F.col("l_partkey").alias("mc_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eur.join(
+            F.broadcast(min_cost),
+            (eur.l_partkey == F.col("mc_key")) & (eur.unit_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), eur.l_partkey == part.p_partkey)
+        # raw double: min() of identical IEEE divisions is engine-exact;
+        # a round() here would reintroduce HALF_UP-vs-half-away skew
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (part value = revenue shipped by one
+    nation's suppliers, not availqty*supplycost): parts whose value
+    exceeds a fixed fraction of the nation's grand total — a per-group
+    aggregate HAVING against an uncorrelated scalar aggregate, planned
+    as a 1-row broadcast join, never a driver collect of data rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_li = (
+        li.join(F.broadcast(sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+                            .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)").alias("val"))
+    )
+    # exact decimal accumulation at BOTH levels (a double grand total
+    # would be partition-order-dependent and could flip boundary rows),
+    # one decimal->double conversion per emitted value
+    per_part = nat_li.groupBy("l_partkey").agg(
+        F.sum("val").cast("decimal(28,4)").alias("dec_value")
+    )
+    total = per_part.agg(
+        F.sum("dec_value").cast("decimal(38,4)").cast("double").alias("grand_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .withColumn("part_value", F.col("dec_value").cast("double"))
+        .filter(F.col("part_value") > F.col("grand_total") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (supplier-part relation from lineitem;
+    the 'complaints' exclusion list = suppliers with negative balance):
+    distinct supplier count per (brand, type, size) bucket for
+    non-PROMO mid-size parts — distinct aggregation over a semi-reduced
+    fact with a broadcast anti-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no availqty: 'excess stock' becomes
+    market dominance — a supplier holding >30% of a part's shipped 1996
+    quantity): suppliers of red parts who dominate at least one such
+    part, named per nation — nested per-(part,supp)/per-part aggregates
+    compared, then a semi join up to the supplier dimension."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    red_li = li.join(F.broadcast(red), li.l_partkey == red.p_partkey).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_ps = red_li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("tp_key"))
+        .filter(F.col("supp_qty") > F.col("total_qty") * 0.3)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy(F.asc("s_name"))
+    )
+
+
 # --------------------------------------------------------------------------
 # CDC history projections (SCD2 / transitions)
 # --------------------------------------------------------------------------
@@ -1231,6 +1360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_idle_balances": q22_idle_balances,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_dominant_supplier": q20_dominant_supplier,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "state_transitions": q_state_transitions,
@@ -1684,6 +1817,82 @@ def oracle_sql() -> dict[str, str]:
                                  AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY 1
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_type = 'STANDARD' AND p_size <= 15)
+              GROUP BY l_partkey, l_suppkey
+            ), eur AS (
+              SELECT c.*, s.s_name, s.s_acctbal, n.n_name
+              FROM cost c
+              JOIN supplier s ON c.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+            FROM eur
+            JOIN part ON l_partkey = p_partkey
+            WHERE unit_cost = (SELECT min(unit_cost) FROM eur e2
+                               WHERE e2.l_partkey = eur.l_partkey)
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS dec_value
+              FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation
+                  ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey,
+                   CAST(dec_value AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(dec_value AS DOUBLE) >
+                  CAST(CAST((SELECT sum(dec_value) FROM per_part) AS DECIMAL(38,4)) AS DOUBLE) * 0.001
+            ORDER BY part_value DESC, p_partkey ASC
+        """,
+        "q16_supplier_count": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "q20_dominant_supplier": """
+            WITH red_li AS (
+              SELECT l_partkey, l_suppkey, l_quantity
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+            ), per_ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM red_li GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+              SELECT l_partkey, sum(supp_qty) AS total_qty
+              FROM per_ps GROUP BY l_partkey
+            )
+            SELECT s_name, n_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT ps.l_suppkey FROM per_ps ps
+              JOIN per_p p ON ps.l_partkey = p.l_partkey
+              WHERE ps.supp_qty > p.total_qty * 0.3)
+            ORDER BY s_name ASC
         """,
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,

@@ -106,3 +106,23 @@ def test_analytics_plan_shapes(spark):
     plan4 = q4._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan4
     assert "Cartesian" not in plan4
+
+    # q2: the decorrelated min-cost lookup stays all-broadcast — no
+    # sort-merge exchange anywhere in a dimension-only join tree
+    q2 = entrymod.q2_min_cost_supplier(spark, sf)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan2
+    assert "Cartesian" not in plan2
+    assert plan2.count("BroadcastHashJoin") >= 4
+
+    # q11: the uncorrelated scalar total is a 1-row broadcast nested
+    # loop (Catalyst's own scalar-subquery shape), not a shuffle
+    q11 = entrymod.q11_important_parts(spark, sf)
+    plan11 = q11._jdf.queryExecution().executedPlan().toString()
+    assert plan11.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan11
+
+    # q16: the complaints exclusion is a broadcast ANTI join
+    q16 = entrymod.q16_supplier_count(spark, sf)
+    plan16 = q16._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan16 and "BroadcastHashJoin" in plan16
