@@ -244,6 +244,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "ts", gap="1 day", keys=("user_id",))
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase (one user
+    shuffle; stage chain as codegen'd array expressions — the oracle is
+    the equivalent chain of min-aggregate CTEs)."""
+    from pyorchdb_spark.operators.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "ts", stages=("view", "click", "purchase"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention triangle over the events table
+    (single user-keyed shuffle; see operators/timeseries.py)."""
+    from pyorchdb_spark.operators.timeseries import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "ts")
+
+
 def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every error event, the user's
     latest click at-or-before it — union-sort formulation, ONE shuffle,
@@ -1337,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "asof_latest_click": q_asof_latest_click,
         "range_join_incidents": q_range_join_incidents,
         "value_quantiles": q_value_quantiles,
@@ -1528,6 +1549,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM w GROUP BY 1, 2
+        """,
+        "funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 'view' AS stage, 1 AS stage_idx,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+            UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+        """,
+        "cohort_retention": """
+            WITH fu AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+              FROM events GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            )
+            SELECT cohort_date,
+                   CAST(date_diff('day', cohort_date, d) AS INTEGER) AS day_offset,
+                   count(*) AS n_users
+            FROM act JOIN fu USING (user_id)
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH o AS (

@@ -101,6 +101,9 @@ def main() -> None:
         "q5_local_supplier_volume",
         "q18_large_volume",
         "q21_waiting_supplier",
+        "q2_min_cost_supplier",
+        "funnel_steps",
+        "cohort_retention",
         "scd2_incremental",
         "corpus_ngrams",
         "dedup_exact",

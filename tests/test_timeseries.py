@@ -80,3 +80,59 @@ def test_windowed_agg_sliding_double_counts(spark, sf_dir):
     sliding = windowed_agg(ev, "ts", "2 days", slide="1 day")
     total = sliding.agg(F.sum("n_events")).collect()[0][0]
     assert total == 2 * ev.count()
+
+
+def test_funnel_ordering_and_missing_stages(spark):
+    from pyorchdb_spark.operators.timeseries import funnel
+
+    rows = [
+        # user 1: full ordered progression
+        (1, TS(2024, 1, 1, 9, 0), "view"),
+        (1, TS(2024, 1, 1, 10, 0), "click"),
+        (1, TS(2024, 1, 1, 11, 0), "purchase"),
+        # user 2: click BEFORE first view only -> stalls at stage 1
+        (2, TS(2024, 1, 1, 8, 0), "click"),
+        (2, TS(2024, 1, 1, 9, 0), "view"),
+        (2, TS(2024, 1, 1, 10, 0), "purchase"),  # no qualifying click
+        # user 3: click at the EXACT view timestamp counts (>= rule)
+        (3, TS(2024, 1, 1, 9, 0), "view"),
+        (3, TS(2024, 1, 1, 9, 0), "click"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, TS(2024, 1, 1, 9, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: (r["stage_idx"], r["n_users"]) for r in
+           funnel(df, "ts", stages=("view", "click", "purchase")).collect()}
+    assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_funnel_empty_input(spark):
+    from pyorchdb_spark.operators.timeseries import funnel
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in funnel(df, "ts", stages=("view", "click")).collect()}
+    assert got == {"view": 0, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from pyorchdb_spark.operators.timeseries import cohort_retention
+
+    rows = [
+        # user 1: cohort Jan 1, active again day 2 (two events same day
+        # collapse) and day 3
+        (1, TS(2024, 1, 1, 9, 0)),
+        (1, TS(2024, 1, 3, 9, 0)),
+        (1, TS(2024, 1, 3, 18, 0)),
+        (1, TS(2024, 1, 4, 9, 0)),
+        # user 2: cohort Jan 3, single day
+        (2, TS(2024, 1, 3, 12, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_date"]), r["day_offset"]): r["n_users"]
+           for r in cohort_retention(df, "ts").collect()}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-03", 0): 1,
+    }
