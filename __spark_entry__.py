@@ -263,6 +263,47 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "ts")
 
 
+def q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based analytic window: 3-event rolling average of value per
+    user (ROWS 2 PRECEDING..CURRENT).  Exact decimal accumulation inside
+    the frame so Spark's rotating add/remove sliding-sum and DuckDB's
+    segment tree cannot drift on float ordering; one user-keyed shuffle,
+    frame state is O(frame) per task."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+            .cast("decimal(28,4)").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_avg"),
+    )
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE(10) over per-user totals WITHOUT a single-task
+    window: operators/ranking.py two-phase range-partitioned ranking —
+    bit-identical to the SQL NTILE oracle."""
+    from pyorchdb_spark.operators.ranking import global_ntile
+
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(28,4)").cast("double")
+        .alias("total_value")
+    )
+    tiles = global_ntile(
+        totals, [F.desc("total_value"), F.asc("user_id")], k=10, tile_col="decile"
+    )
+    return tiles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("total_value").alias("top_value"),
+        F.min("total_value").alias("bottom_value"),
+    )
+
+
 def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every error event, the user's
     latest click at-or-before it — union-sort formulation, ONE shuffle,
@@ -1358,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "rolling_value": q_rolling_value,
+        "value_deciles": q_value_deciles,
         "asof_latest_click": q_asof_latest_click,
         "range_join_incidents": q_range_join_incidents,
         "value_quantiles": q_value_quantiles,
@@ -1549,6 +1592,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM w GROUP BY 1, 2
+        """,
+        "rolling_value": """
+            SELECT user_id, event_id,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+                             AS DECIMAL(28,4)) AS DOUBLE)
+                   / count(*) OVER w AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "value_deciles": """
+            WITH totals AS (
+              SELECT user_id,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1
+            ), tiles AS (
+              SELECT total_value,
+                     CAST(NTILE(10) OVER (ORDER BY total_value DESC, user_id ASC) AS INTEGER) AS decile
+              FROM totals
+            )
+            SELECT decile, count(*) AS n_users,
+                   max(total_value) AS top_value,
+                   min(total_value) AS bottom_value
+            FROM tiles GROUP BY 1
         """,
         "funnel_steps": """
             WITH s1 AS (

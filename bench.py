@@ -104,6 +104,8 @@ def main() -> None:
         "q2_min_cost_supplier",
         "funnel_steps",
         "cohort_retention",
+        "rolling_value",
+        "value_deciles",
         "scd2_incremental",
         "corpus_ngrams",
         "dedup_exact",
