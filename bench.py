@@ -160,6 +160,10 @@ def main() -> None:
     for label, salted, mor in (
         ("cdc_replay", False, False),
         ("cdc_replay_salted", True, False),
+        # evidence the skew-strategy CHOOSER, not just the strategies: on
+        # this near-uniform input auto must track plain, while the Zipf
+        # stress in BENCH/BASELINE.md shows it beating plain under skew
+        ("cdc_replay_auto", "auto", False),
         ("cdc_replay_mor", False, True),
     ):
         runs = []

@@ -89,6 +89,49 @@ def _contract_labels(labels: DataFrame) -> DataFrame:
     return labels.mapInPandas(compress, schema="id long, component long")
 
 
+def _solve_single_pass(pairs_thin: DataFrame) -> DataFrame:
+    """Whole-graph union-find in ONE Arrow-batched task over a pair set
+    already proven bounded by the caller's ``limit(B+1).count()`` gate —
+    the CC analogue of the broadcast-vs-shuffle join choice (same gated
+    pattern as ``dedup_docs.ngram_jaccard_pairs``'s bounded-broadcast
+    block join). Replaces seed + N propagation rounds + N convergence
+    checksums (each a full Spark job) with a single pass; at 100 TB the
+    gate fails and the iterative loop below runs instead.
+
+    Smaller-root-wins linking keeps the invariant of the iterative path:
+    the final root of every component is its minimum member id, so both
+    paths emit bit-identical label tables.
+    """
+
+    def uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["s"].to_numpy(), pdf["d"].to_numpy()):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if not parent:
+            return
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids, "component": [find(i) for i in ids]})
+
+    return pairs_thin.coalesce(1).mapInPandas(uf, schema="id long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -96,6 +139,7 @@ def connected_components(
     max_iters: int = 50,
     dedupe_edges: bool = False,
     local_contract: bool = True,
+    local_solve_max_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Resolve undirected pairs into components: (id, component).
 
@@ -110,22 +154,45 @@ def connected_components(
     have thinned, VERDICT r3 next #6). Set True for a foreign edge list
     with heavy duplication, where one dedup shuffle amortizes across all
     rounds' join volume.
+
+    ``local_solve_max_edges``: when the pair set is provably small
+    (bounded ``limit(B+1).count()`` probe over the persisted thin pairs
+    — never a full scan), the whole closure is computed by ONE
+    union-find task (``_solve_single_pass``) instead of the multi-job
+    loop: 2 jobs total vs seed + rounds. Dedup pair sets are tiny
+    relative to their corpus (near-dup clusters), so in practice this is
+    the hot path even at large corpus scale; the iterative loop remains
+    the unbounded-scale path. ``None``/``0`` disables the probe (plans
+    with an expensive un-persistable pair source, or tests pinning the
+    loop). Both paths emit bit-identical labels (min-id component keys).
     """
-    # Symmetrize with ONE reference to `pairs` (array + explode), never
-    # a self-union: Catalyst has no cross-branch CSE, so
-    # pairs.union(pairs.swapped) materializes the (expensive — an entire
-    # LSH/Jaccard pipeline) pair plan TWICE when the persist fills
-    # (VERDICT r3 next #6: this doubling was most of dedup_groups' tail).
+    pairs_thin = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    gated = bool(local_solve_max_edges)
+    if gated:
+        # persist BEFORE the probe so the (possibly expensive — an entire
+        # LSH/Jaccard pipeline) pair plan executes exactly once whichever
+        # branch wins
+        pairs_thin = pairs_thin.persist()
+        n_pairs = pairs_thin.limit(local_solve_max_edges + 1).count()
+        if n_pairs <= local_solve_max_edges:
+            # eager checkpoint: materializes the one-task solve now so the
+            # persisted pair blocks can be freed before returning
+            labels = _solve_single_pass(pairs_thin).localCheckpoint(eager=True)
+            pairs_thin.unpersist()
+            return labels
+    # Symmetrize with ONE reference to the pair plan (array + explode),
+    # never a self-union: Catalyst has no cross-branch CSE, so
+    # pairs.union(pairs.swapped) materializes the pair plan TWICE when
+    # the persist fills (VERDICT r3 next #6: this doubling was most of
+    # dedup_groups' tail).
     edges = (
-        pairs.select(
+        pairs_thin.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-                    ),
-                    F.struct(
-                        F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("d")
-                    ),
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
                 )
             ).alias("e")
         )
@@ -203,11 +270,16 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if gated:
+        pairs_thin.unpersist()
     return labels
 
 
 def resolve_groups(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 50
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
 ) -> DataFrame:
     """Duplicate groups from pair output: (component_id, n_members, rep_id).
 

@@ -34,11 +34,42 @@ def test_known_components(spark):
 
 def test_long_chain_converges(spark):
     # 40-node path: pointer jumping must converge well under max_iters
+    # (gate disabled: this pins the ITERATIVE path — the unbounded-scale one)
     n = 40
     pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
-    got = connected_components(pairs, max_iters=12).collect()
+    got = connected_components(pairs, max_iters=12, local_solve_max_edges=0).collect()
     assert len(got) == n + 1
     assert {r["component"] for r in got} == {0}
+
+
+def test_gated_and_iterative_paths_bit_identical(spark):
+    """The count-gated single-task union-find and the iterative
+    min-label loop must emit the SAME label table (min-id components)
+    on a mixed graph: clique + chain + self-loop + reversed dups."""
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]
+        + [(i, i + 1) for i in range(20, 30)]
+        + [(555, 555), (41, 40), (40, 41)]
+    )
+    pairs = _pairs(spark, edges).repartition(6)
+    fast = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    slow = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_solve_max_edges=0).collect()
+    }
+    assert fast == slow
+    assert fast[555] == 555 and fast[3] == 1 and fast[29] == 20 and fast[41] == 40
+
+
+def test_gate_overflow_falls_back_to_loop(spark):
+    # bound smaller than the pair count -> the probe must overflow and
+    # the iterative path must still resolve correctly
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6), (6, 7)])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_solve_max_edges=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5}
 
 
 def test_reversed_and_duplicate_edges(spark):
@@ -115,7 +146,13 @@ def test_components_match_union_find_property(spark):
         expected = {x: find(x) for x in parent}
 
         pairs = _pairs(spark, edges)
-        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        # gate disabled: the property test exercises the iterative loop
+        # (the gated path IS a union-find — comparing it to itself proves
+        # little; the bit-identity test above covers cross-path equality)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, local_solve_max_edges=0).collect()
+        }
         assert got == expected
 
     check()
@@ -129,6 +166,9 @@ def test_local_contract_partition_adversarial_chain(spark):
     n = 100
     edges = [(i, i + 1) for i in range(n)] + [(555, 555)]
     pairs = _pairs(spark, edges).repartition(8)  # scatter the chain
-    got = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=12).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iters=12, local_solve_max_edges=0).collect()
+    }
     assert {got[i] for i in range(n + 1)} == {0}
     assert got[555] == 555
