@@ -144,6 +144,37 @@ def q_cdc_marker_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a GROUP BY
+    aggregate of the first-half CDC state, maintained through two change
+    batches by retraction deltas — O(changed keys) thin-row shuffles per
+    batch, never a base-table rescan — must equal the oracle's full-log
+    recompute exactly (decimal-exact retraction)."""
+    from pyorchdb_spark.operators.ivm import _live, agg_view, group_contributions, ivm_step
+
+    cl = _events_as_changelog(spark, sf_dir)
+    state = lww_dedup(
+        cl.filter(F.col("event_id") < 5_000),
+        keys=("user_id",), seq_col="event_id", tiebreakers=(),
+    )
+    agg = group_contributions(_live(state), "event_type", ["value"])
+    for lo, hi in ((5_000, 7_500), (7_500, None)):
+        batch = cl.filter(F.col("event_id") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("event_id") < hi)
+        state, agg = ivm_step(
+            state, batch, agg, "event_type", ["value"], keys=("user_id",), seq_col="event_id"
+        )
+        state = state.localCheckpoint(eager=False)
+        agg = agg.localCheckpoint(eager=False)
+    return agg_view(agg, ["value"]).select(
+        F.col("grp").alias("state_type"),
+        F.col("n_rows").alias("n_keys"),
+        "total_value",
+        "avg_value",
+    )
+
+
 def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — lineage-style metrics: per event_type counts/sums/max-seq."""
     ev = _t(spark, sf_dir, "events")
@@ -1387,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_marker_antijoin": q_cdc_marker_antijoin,
+        "ivm_group_stats": q_ivm_group_stats,
         "lineage_counts": q_lineage_counts,
         "filter_not_contains": q_filter_not_contains,
         "insert_period": q_insert_period,
@@ -1533,6 +1565,21 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _LWW_SQL,
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_merge_upsert": _FINAL_STATE_SQL,
+        # the maintained aggregate must equal the full-log recompute —
+        # the oracle IS the recompute (incremental path has no SQL twin)
+        "ivm_group_stats": """
+            SELECT event_type AS state_type,
+                   count(*) AS n_keys,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)
+                       AS total_value,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)
+                       / count(*) AS avg_value
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY event_type
+        """,
         "cdc_marker_antijoin": """
             SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch_no,
                    count(*) AS n_events,

@@ -96,6 +96,7 @@ def main() -> None:
         "cdc_lww",
         "cdc_lww_salted",
         "cdc_merge_upsert",
+        "ivm_group_stats",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",

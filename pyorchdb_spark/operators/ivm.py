@@ -1,0 +1,187 @@
+"""Incremental view maintenance (IVM): keep aggregate tables current
+from the change stream without re-scanning the base table.
+
+The reference recomputes every derived table from scratch each pipeline
+run (eager pandas over full extracts — PyOrchDB/main.py drives whole-
+table loads only). A CDC engine can do better: a keyed MERGE tells us
+exactly which keys changed, so a GROUP BY aggregate over the table can
+be maintained with *retraction deltas* — subtract the changed keys' old
+contributions, add their new ones — the classic incremental
+view-maintenance shape (Griffin/Libkin-style delta tables; same algebra
+DBSP/Materialize build on).
+
+Correctness: for retractable aggregates (COUNT, SUM, and anything
+derived from them, e.g. AVG = SUM/COUNT) the maintained table is
+*exactly* the full recompute, provided accumulation is exact — so sums
+run in DECIMAL, never floating point (a float retraction would leave
+round-off residue that drifts across batches; the engine-wide
+decimal-accumulate-then-cast-once pattern from the TPC-H suite). MIN and
+MAX are not retractable (losing the current max needs a rescan of the
+group); they are out of scope here and documented as such.
+
+Scale shape (100 TB): one maintenance step shuffles
+O(changed keys + |groups|) THIN rows — (group, count, sums) triples —
+never the table. The changed keys' old/new states are read from the
+affected bucket files only (``LakeTable._affected_files`` manifest
+arithmetic, the same pruning MERGE itself uses), so a micro-batch over a
+10^5-file table opens O(batch buckets) files. Maintenance cost is
+proportional to the batch, not the table — at the 10^10-event design
+point that's the difference between a continuously-fresh aggregate and
+a nightly rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyorchdb_spark.operators.dedup import DEFAULT_KEYS
+from pyorchdb_spark.plans.merge import resolve_merge
+
+# exact accumulator types: input values quantized to 4 decimal places,
+# group sums wide enough for 10^10 rows of 10^14-scale values
+_IN_DEC = "decimal(18,4)"
+_SUM_DEC = "decimal(28,4)"
+
+
+def _live(state: DataFrame) -> DataFrame:
+    """User-facing rows of a stored state slice (tombstones retained in
+    storage so late events can't resurrect deletes — plans/merge.py)."""
+    return state.filter(F.col("op") != "delete") if "op" in state.columns else state
+
+
+def group_contributions(
+    rows: DataFrame, group_col: str, sum_cols: Sequence[str], negate: bool = False
+) -> DataFrame:
+    """Per-group (n_rows, sum_<c>...) contribution table; ``negate=True``
+    emits retractions. Exact decimal sums — see module docstring."""
+    s = -1 if negate else 1
+    aggs = [(F.sum(F.lit(s))).cast("long").alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(
+            (F.sum(F.col(c).cast(_IN_DEC)) * s).cast(_SUM_DEC).alias(f"sum_{c}")
+        )
+    return rows.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def apply_delta(
+    prev_agg: DataFrame,
+    retract_rows: DataFrame,
+    add_rows: DataFrame,
+    group_col: str,
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """One maintenance step: prev_agg - contributions(old rows of the
+    changed keys) + contributions(new rows of the changed keys).
+
+    Groups whose count reaches zero vanish (exact decimal retraction
+    guarantees their sums are simultaneously zero). The result has the
+    same schema as ``group_contributions`` output, so steps compose.
+    """
+    neg = group_contributions(retract_rows, group_col, sum_cols, negate=True)
+    pos = group_contributions(add_rows, group_col, sum_cols)
+    merged = prev_agg.unionByName(neg).unionByName(pos)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
+        F.sum(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return merged.groupBy("grp").agg(*aggs).filter(F.col("n_rows") > 0)
+
+
+def agg_view(agg: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
+    """User-facing read of a maintained aggregate: exact decimals exposed
+    as doubles (one deterministic decimal->double conversion per value —
+    the engine's hash-stable output convention)."""
+    cols = [F.col("grp"), F.col("n_rows")]
+    for c in sum_cols:
+        total = F.col(f"sum_{c}").cast("double")
+        cols.append(total.alias(f"total_{c}"))
+        cols.append((total / F.col("n_rows")).alias(f"avg_{c}"))
+    return agg.select(*cols)
+
+
+def ivm_step(
+    target_state: DataFrame,
+    batch_events: DataFrame,
+    prev_agg: DataFrame,
+    group_col: str,
+    sum_cols: Sequence[str],
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Apply one CDC batch to (state, maintained aggregate) — the
+    pure-DataFrame twin of the lake-backed path (oracle-checkable).
+
+    Returns ``(new_state, new_agg)``. The changed-key scope is the
+    batch's distinct keys: keys whose winner doesn't change (stale
+    events) retract and re-add identical contributions — a no-op by
+    exactness, so no winner-comparison pass is needed. Callers chaining
+    many steps should truncate lineage between them
+    (``localCheckpoint(eager=False)``) as with any iterative plan.
+    """
+    batch_keys = batch_events.select(*keys).distinct()
+    old_scoped = _live(target_state).join(batch_keys, list(keys), "left_semi")
+    new_state = resolve_merge(target_state, batch_events, keys=keys, seq_col=seq_col)
+    new_scoped = _live(new_state).join(batch_keys, list(keys), "left_semi")
+    agg = apply_delta(prev_agg, old_scoped, new_scoped, group_col, sum_cols)
+    return new_state, agg
+
+
+def lake_scoped_state(lake, manifest, batch_events: DataFrame) -> DataFrame:
+    """Live state of the batch's keys at ``manifest``, reading ONLY the
+    affected bucket files (the same manifest arithmetic MERGE uses) —
+    the O(batch) read that keeps lake-backed maintenance off the table
+    scan path. MoR deltas in the affected set resolve LWW as in
+    ``snapshot``."""
+    affected, _ = lake._affected_files(manifest, batch_events)
+    if not affected:
+        empty = lake.spark.createDataFrame([], manifest.schema())
+        return _live(empty)
+    paths = [os.path.join(lake.root, f["path"]) for f in affected]
+    df = lake.spark.read.schema(manifest.schema()).parquet(*paths)
+    if any(f.get("delta") for f in affected):
+        from pyorchdb_spark.operators.dedup import lww_dedup
+
+        df = lww_dedup(df, keys=lake.keys)
+    batch_keys = batch_events.select(*lake.keys).distinct()
+    return _live(df.join(batch_keys, list(lake.keys), "left_semi"))
+
+
+def maintain_on_lake_merge(
+    lake,
+    batch_events: DataFrame,
+    prev_agg: DataFrame,
+    group_col: str,
+    sum_cols: Sequence[str],
+    batch_id: str | None = None,
+    mor: bool = False,
+) -> DataFrame:
+    """MERGE a batch into the lake AND return the maintained aggregate:
+    old contributions are captured from the pre-merge manifest, the
+    merge commits, new contributions come from the post-merge state of
+    the same keys — both via affected-bucket reads only.
+
+    The old-scope read is forced (tiny: changed keys x thin agg columns)
+    BEFORE the merge commits, because a CoW merge rewrites the affected
+    files the old scope reads from.
+    """
+    m_before = lake.manifest()
+    if m_before is not None and m_before.files:
+        old_scoped = lake_scoped_state(lake, m_before, batch_events)
+        old_contrib = group_contributions(
+            old_scoped, group_col, sum_cols, negate=True
+        ).localCheckpoint(eager=True)
+    else:
+        old_contrib = None
+    m_after = lake.merge(batch_events, batch_id=batch_id, mor=mor)
+    new_scoped = lake_scoped_state(lake, m_after, batch_events)
+    pos = group_contributions(new_scoped, group_col, sum_cols)
+    merged = prev_agg.unionByName(pos)
+    if old_contrib is not None:
+        merged = merged.unionByName(old_contrib)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
+        F.sum(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return merged.groupBy("grp").agg(*aggs).filter(F.col("n_rows") > 0)
