@@ -352,6 +352,28 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join, batch twin
+    (streaming/join.py — the same code path runs on live streams with
+    watermark-bounded state): every click by the same user within the
+    30 minutes before a signup."""
+    from pyorchdb_spark.streaming.join import interval_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = interval_stream_join(signups, clicks, by="user_id", lookback="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join (operators/rangejoin.interval_join):
     purchases falling inside each day's error-incident window
@@ -1434,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_value": q_rolling_value,
         "value_deciles": q_value_deciles,
         "asof_latest_click": q_asof_latest_click,
+        "click_attribution": q_click_attribution,
         "range_join_incidents": q_range_join_incidents,
         "value_quantiles": q_value_quantiles,
         "events_pivot": q_events_pivot,
@@ -1739,6 +1762,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "click_attribution": """
+            SELECT s.user_id,
+                   s.event_id AS signup_event_id,
+                   c.event_id AS click_event_id,
+                   c.ts AS click_ts,
+                   c.value AS click_value
+            FROM events s JOIN events c
+              ON s.user_id = c.user_id
+             AND c.ts <= s.ts
+             AND c.ts >= s.ts - INTERVAL 30 MINUTE
+            WHERE s.event_type = 'signup' AND c.event_type = 'click'
         """,
         "value_quantiles": """
             SELECT event_type,
