@@ -38,6 +38,7 @@ from pyorchdb_spark.operators.dedup import lww_dedup, lww_dedup_salted  # noqa: 
 from pyorchdb_spark.operators.dedup_docs import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shared_substring_pairs,
     simhash_pairs,
 )
 from pyorchdb_spark.operators.similarity import (  # noqa: E402
@@ -1085,6 +1086,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.9, n=1, block_col="lang")
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. ACL'22 ExactSubstr criterion as
+    a distributed gram join): doc pairs sharing a verbatim 8-token
+    window, boilerplate windows (df > 100) excluded."""
+    docs = _t(spark, sf_dir, "documents")
+    return shared_substring_pairs(docs, k=8, max_df=100)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
@@ -1490,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_substring": q_dedup_substring,
         "dedup_groups": q_dedup_groups,
         "dedup_fuzzy_resolve": q_dedup_fuzzy_resolve,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1564,6 +1574,13 @@ _SHINGLES3 = f"""CASE WHEN len({_TOKENS}) >= 3
   THEN list_distinct([array_to_string(({_TOKENS})[i:i+2], ' ')
                       for i in generate_series(1, len({_TOKENS}) - 2)])
   ELSE [array_to_string({_TOKENS}, ' ')] END"""
+
+# 8-token windows, mirroring dedup_docs.shared_substring_pairs(k=8):
+# STRICT — a doc under 8 tokens emits no windows (no whole-text fallback)
+_WINDOWS8 = f"""CASE WHEN len({_TOKENS}) >= 8
+  THEN list_distinct([array_to_string(({_TOKENS})[i:i+7], ' ')
+                      for i in generate_series(1, len({_TOKENS}) - 7)])
+  ELSE []::VARCHAR[] END"""
 
 
 def _lang_id_sql() -> str:
@@ -2238,6 +2255,16 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(b.gram) AS DOUBLE) / count(*), 9) AS contamination
             FROM doc_grams d LEFT JOIN bench b ON d.gram = b.gram
             GROUP BY d.doc_id
+        """,
+        "dedup_substring": f"""
+            WITH g AS (
+              SELECT doc_id AS _id, unnest({_WINDOWS8}) AS gram FROM documents
+            ), keep AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 100
+            )
+            SELECT DISTINCT a._id AS id_a, b._id AS id_b
+            FROM g a JOIN keep USING (gram) JOIN g b USING (gram)
+            WHERE a._id < b._id
         """,
         "dedup_ngram_jaccard": f"""
             WITH sig AS (

@@ -514,3 +514,64 @@ def ngram_contamination(
             F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"),
         )
     )
+
+
+# ---------- exact shared-substring dedup ----------
+
+def shared_substring_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact-substring dedup: pairs of documents sharing at least one
+    verbatim ``k``-token window (the training-set dedup criterion of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — their suffix-array ExactSubstr, re-expressed as a
+    distributed gram join). Differs from ``ngram_jaccard_pairs``: this is
+    a containment test (ONE shared window suffices), not a whole-set
+    similarity threshold.
+
+    Strict semantics: a document with fewer than ``k`` tokens emits no
+    windows and can never pair. ``max_df`` drops windows appearing in
+    more than that many documents (boilerplate banners — license
+    headers, navigation chrome): a window shared by m docs would
+    otherwise emit m^2/2 candidate pairs, and a window that common is
+    boilerplate, not duplication evidence (pair it with
+    ``remove_boilerplate`` for the lines themselves).
+
+    Scale shape (100 TB): one explode to thin DISTINCT (window, id)
+    rows; doc-frequency filter keeps windows with 2..max_df docs; a
+    self equi-join on the window string (both sides hash-partition
+    identically, so the physical plan reuses one exchange) emits
+    bounded per-window pair groups — nothing quadratic in corpus size.
+    Window strings travel the shuffle verbatim to keep the operator
+    exact and oracle-checkable; hash them (xxhash64) when shuffle
+    volume matters more than zero false-pair risk.
+    """
+    toks = _tokens(text_col)
+    windows = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ),
+    )
+    g = docs.select(F.col(id_col).alias("_id"), F.explode(windows).alias("gram"))
+    keep = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("gram")
+    )
+    gk = g.join(keep, "gram")
+    return (
+        gk.alias("a")
+        .join(gk.alias("b"), "gram")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )

@@ -141,12 +141,16 @@ def lake_scoped_state(lake, manifest, batch_events: DataFrame) -> DataFrame:
         return _live(empty)
     paths = [os.path.join(lake.root, f["path"]) for f in affected]
     df = lake.spark.read.schema(manifest.schema()).parquet(*paths)
+    # semi-join BEFORE any MoR LWW resolution (same order as
+    # LakeTable.lookup): the per-key window then runs over O(batch keys)
+    # rows instead of every row in the affected buckets
+    batch_keys = batch_events.select(*lake.keys).distinct()
+    df = df.join(batch_keys, list(lake.keys), "left_semi")
     if any(f.get("delta") for f in affected):
         from pyorchdb_spark.operators.dedup import lww_dedup
 
         df = lww_dedup(df, keys=lake.keys)
-    batch_keys = batch_events.select(*lake.keys).distinct()
-    return _live(df.join(batch_keys, list(lake.keys), "left_semi"))
+    return _live(df)
 
 
 def maintain_on_lake_merge(

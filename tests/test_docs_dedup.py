@@ -216,3 +216,36 @@ def test_minhash_empty_docs_get_null_signature_not_sentinel(spark):
     ids_in_pairs = {x for r in cand.collect() for x in (r["id_a"], r["id_b"])}
     assert not ids_in_pairs & {7, 8, 9}
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+
+def test_shared_substring_pairs_known_fixture(spark):
+    """Exact-substring criterion: ONE shared 8-token window pairs docs;
+    docs under 8 tokens never pair (strict, no whole-text fallback);
+    windows above max_df (boilerplate) are excluded."""
+    from pyorchdb_spark.operators.dedup_docs import shared_substring_pairs
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    banner = "x1 x2 x3 x4 x5 x6 x7 x8"
+    rows = [
+        (1, f"intro words {run} outro"),
+        (2, f"other text then {run} and more"),
+        (3, "tiny doc same"),
+        (4, "tiny doc same"),  # identical but < 8 tokens: must NOT pair
+        (5, f"{banner} unique five"),
+        (6, f"{banner} unique six"),
+        (7, f"{banner} unique seven"),
+        (8, f"{banner} unique eight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in shared_substring_pairs(docs, k=8, max_df=3).collect()
+    }
+    # banner window df=4 > max_df=3 -> banner docs don't pair on it
+    assert got == {(1, 2)}
+    # raising max_df admits the banner family
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in shared_substring_pairs(docs, k=8, max_df=10).collect()
+    }
+    assert got2 == {(1, 2)} | set(itertools.combinations([5, 6, 7, 8], 2))
