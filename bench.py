@@ -111,6 +111,7 @@ def main() -> None:
         "corpus_ngrams",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_substring",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_groups",

@@ -74,3 +74,20 @@ def test_stream_join_matches_batch(spark, sf_dir, tmp_path):
     got_df = _run_append(spark, joined, str(tmp_path / "ckpt"))
     got = sorted((r["user_id"], r["event_id"], r["event_id_r"]) for r in got_df.collect())
     assert got == expected
+
+
+def test_interval_join_plan_is_equi_hash_not_nlj(spark, sf_dir):
+    """The interval join must compile to an EQUI join on the key with the
+    time range as a residual condition — never a nested-loop/cartesian
+    pair enumeration (which would be quadratic at scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    plan = (
+        interval_stream_join(s, c, by="user_id", lookback="30 minutes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join [user_id" in plan or "Join [coalesce(user_id" in plan or "HashJoin" in plan or "SortMergeJoin" in plan
