@@ -45,7 +45,7 @@ from pyorchdb_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     embedding_neardup_pairs,
 )
-from pyorchdb_spark.plans.merge import resolve_merge  # noqa: E402
+from pyorchdb_spark.plans.merge import resolve_full_sync, resolve_merge  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -142,6 +142,67 @@ def q_cdc_marker_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remaining.groupBy("batch_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("event_id").alias("max_event_id"),
+    )
+
+
+def q_cdc_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE (WHEN NOT MATCHED BY SOURCE THEN DELETE,
+    plans/merge.resolve_full_sync): the first-half state synced to the
+    second-half snapshot — keys absent from the snapshot are tombstoned
+    at the snapshot's high-watermark; live result = the snapshot keys'
+    LWW winners over the whole log."""
+    cl = _events_as_changelog(spark, sf_dir)
+    target = lww_dedup(
+        cl.filter(F.col("event_id") < 5_000),
+        keys=("user_id",), seq_col="event_id", tiebreakers=(),
+    )
+    source = cl.filter(F.col("event_id") >= 5_000)
+    synced = resolve_full_sync(target, source, keys=("user_id",), seq_col="event_id")
+    return synced.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff — the table_changes CDC-read shape: per-key live
+    state at the v1 cut vs the full log, emitting only keys that
+    changed, classified insert/update/delete. One full-outer join of two
+    thin winner tables."""
+    cl = _events_as_changelog(spark, sf_dir)
+
+    def live(df):
+        w = lww_dedup(df, keys=("user_id",), seq_col="event_id", tiebreakers=())
+        return w.filter(F.col("op") != "delete")
+
+    s1 = live(cl.filter(F.col("event_id") < 5_000)).select(
+        "user_id",
+        F.col("event_id").alias("old_event_id"),
+        F.col("value").alias("old_value"),
+    )
+    s2 = live(cl).select(
+        "user_id",
+        F.col("event_id").alias("new_event_id"),
+        F.col("value").alias("new_value"),
+    )
+    j = s1.join(s2, ["user_id"], "full_outer")
+    change = (
+        F.when(F.col("old_event_id").isNull(), F.lit("insert"))
+        .when(F.col("new_event_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return j.filter(
+        F.col("old_event_id").isNull()
+        | F.col("new_event_id").isNull()
+        | (F.col("old_event_id") != F.col("new_event_id"))
+    ).select(
+        "user_id",
+        change.alias("change_type"),
+        "old_event_id",
+        "new_event_id",
+        "old_value",
+        "new_value",
     )
 
 
@@ -1449,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_marker_antijoin": q_cdc_marker_antijoin,
+        "cdc_full_sync": q_cdc_full_sync,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "ivm_group_stats": q_ivm_group_stats,
         "lineage_counts": q_lineage_counts,
         "filter_not_contains": q_filter_not_contains,
@@ -1605,6 +1668,38 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _LWW_SQL,
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_merge_upsert": _FINAL_STATE_SQL,
+        "cdc_full_sync": """
+            SELECT user_id, event_id AS last_event_id, value AS last_value
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 AND event_type <> 'error'
+              AND user_id IN (SELECT user_id FROM events WHERE event_id >= 5000)
+        """,
+        "cdc_snapshot_diff": """
+            WITH s1 AS (
+              SELECT user_id, event_id, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id < 5000
+              ) WHERE rn = 1 AND event_type <> 'error'
+            ), s2 AS (
+              SELECT user_id, event_id, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+              ) WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+                   CASE WHEN s1.event_id IS NULL THEN 'insert'
+                        WHEN s2.event_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   s1.event_id AS old_event_id,
+                   s2.event_id AS new_event_id,
+                   s1.value AS old_value,
+                   s2.value AS new_value
+            FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+            WHERE s1.event_id IS NULL OR s2.event_id IS NULL
+               OR s1.event_id <> s2.event_id
+        """,
         # the maintained aggregate must equal the full-log recompute —
         # the oracle IS the recompute (incremental path has no SQL twin)
         "ivm_group_stats": """

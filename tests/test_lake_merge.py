@@ -389,3 +389,42 @@ def test_changes_since_below_gc_watermark_raises(spark, tmp_path):
     # at/above the watermark every needed tombstone is still present
     ok = lake.changes_since(wm)
     assert ok.filter(F.col("seq") <= wm).isEmpty()
+
+
+def test_resolve_full_sync_semantics(spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (plans/merge.resolve_full_sync):
+    keys absent from the snapshot are tombstoned at hw+1; a target key
+    NEWER than the snapshot's high-watermark survives (the snapshot has
+    no authority over it); later upserts past hw+1 can still resurrect."""
+    from pyorchdb_spark.plans.merge import resolve_full_sync, resolve_merge
+
+    ddl = "repo string, path string, seq long, content string, op string"
+    target = spark.createDataFrame(
+        [
+            ("r", "keep_update", 10, "old", "upsert"),
+            ("r", "drop_stale", 20, "bye", "upsert"),
+            ("r", "keep_newer", 150, "ahead", "upsert"),  # seq > hw: survives
+        ],
+        ddl,
+    )
+    snapshot = spark.createDataFrame(
+        [
+            ("r", "keep_update", 100, "new", "upsert"),
+            ("r", "fresh_insert", 90, "hi", "upsert"),
+        ],
+        ddl,
+    )  # hw = 100
+    synced = resolve_full_sync(target, snapshot, keys=("repo", "path"), seq_col="seq")
+    rows = {r["path"]: r for r in synced.collect()}
+    assert rows["keep_update"]["content"] == "new"
+    assert rows["fresh_insert"]["content"] == "hi"
+    assert rows["keep_newer"]["content"] == "ahead" and rows["keep_newer"]["op"] == "upsert"
+    assert rows["drop_stale"]["op"] == "delete" and rows["drop_stale"]["seq"] == 101
+    live = {r["path"] for r in synced.filter(F.col("op") != "delete").collect()}
+    assert live == {"keep_update", "fresh_insert", "keep_newer"}
+
+    # resurrection: an upsert AFTER the sync's tombstone seq wins LWW
+    late = spark.createDataFrame([("r", "drop_stale", 102, "back", "upsert")], ddl)
+    after = resolve_merge(synced, late, keys=("repo", "path"), seq_col="seq")
+    got = {r["path"]: r for r in after.filter(F.col("op") != "delete").collect()}
+    assert got["drop_stale"]["content"] == "back"
