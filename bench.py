@@ -159,7 +159,7 @@ def main() -> None:
     # vs merge-on-read delta commits.
     replay_stats = {}
     n_replay_runs = int(os.environ.get("SPARK_GRAFT_BENCH_REPLAY_RUNS", "2"))
-    for label, salted, mor in (
+    configs = (
         ("cdc_replay", False, False),
         ("cdc_replay_salted", True, False),
         # evidence the skew-strategy CHOOSER, not just the strategies: on
@@ -167,16 +167,22 @@ def main() -> None:
         # stress in BENCH/BASELINE.md shows it beating plain under skew
         ("cdc_replay_auto", "auto", False),
         ("cdc_replay_mor", False, True),
-    ):
-        runs = []
-        for i in range(n_replay_runs):
+    )
+    # INTERLEAVED like the headline queries: label-by-label runs hand the
+    # first label all of the merge path's JVM warmup (measured: plain's
+    # first samples 1.5x slower than the identical plain path chosen by
+    # `auto` minutes later in the same process)
+    runs_by_label: dict[str, list[float]] = {label: [] for label, _, _ in configs}
+    for i in range(n_replay_runs):
+        for label, salted, mor in configs:
             work = os.path.join(REPO, ".bench_work", f"{label}_{i}")
             shutil.rmtree(work, ignore_errors=True)
             lake, ledger = LakeTable(spark, work), BatchLedger(spark, work)
             t0 = time.time()
             replay(lake, ledger, events, salted=salted, mor=mor)
-            runs.append(round(time.time() - t0, 3))
+            runs_by_label[label].append(round(time.time() - t0, 3))
             shutil.rmtree(work, ignore_errors=True)
+    for label, runs in runs_by_label.items():
         sec = min(runs)  # same min-of-n policy as the headline queries
         samples[label] = runs
         timings[label] = sec
