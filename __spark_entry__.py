@@ -1269,6 +1269,22 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota (operators/sampling.stratified_quota):
+    at most 30 docs per lang, picked in deterministic md5-hash order —
+    sampleBy gives only approximate fractions; curation wants exact,
+    engine-portable caps."""
+    from pyorchdb_spark.operators.sampling import stratified_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_quota(
+        docs.select("doc_id", "lang"),
+        strata=["lang"],
+        n_per_stratum=30,
+        order_cols=["doc_id"],
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keyed train/val/test assignment
     (operators/sampling.hash_split — md5-bucket thresholds, portable
@@ -1571,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "remove_boilerplate": q_remove_boilerplate,
+        "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
         "curate_corpus": q_curate_corpus,
         "dedup_embedding": q_dedup_embedding,
@@ -2292,6 +2309,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8)) AS BIGINT) % 10000 < 9000
                         THEN 'train' ELSE 'val' END AS split
             FROM dedup
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 8)) AS BIGINT) % 2147483648,
+                         doc_id
+              ) AS rk
+              FROM documents
+            ) WHERE rk <= 30
         """,
         "train_val_split": """
             SELECT doc_id,

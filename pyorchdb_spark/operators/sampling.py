@@ -80,3 +80,39 @@ def hash_split(
 ) -> DataFrame:
     """Adds a deterministic 'split' column (train/val/test...)."""
     return df.withColumn("split", split_column(weights, cols, seed))
+
+
+def stratified_quota(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    order_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Exact per-stratum quota sample: deterministically keep (up to)
+    ``n_per_stratum`` rows from every ``strata`` group.
+
+    `sampleBy` gives *approximate* per-stratum fractions and depends on
+    partition order; training-data curation wants EXACT caps ("at most
+    50k docs per language/domain") that are stable across runs, cluster
+    sizes and engines. Selection order is the md5 hash of
+    ``order_cols`` (ties broken by the key itself) — a deterministic
+    uniform shuffle any engine can reproduce, so the picked set is
+    oracle-checkable.
+
+    Scale shape: ONE hash shuffle on the strata columns; the per-group
+    sort is bounded by ``row_number`` early-stop inside each partition
+    (window TopK — Spark inserts a WindowGroupLimit for rank <= n
+    predicates, so no full per-group sort materializes at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    rank_key = hash_bucket(order_cols, seed=seed, n_buckets=1 << 31)
+    w = Window.partitionBy(*strata).orderBy(
+        rank_key.asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -58,3 +58,24 @@ def test_split_weights_validated():
 
     with pytest.raises(ValueError, match="sum to 1"):
         split_column({"a": 0.5, "b": 0.2}, ["x"])
+
+
+def test_stratified_quota_exact_caps_and_partition_invariance(spark, sf_dir):
+    """Every stratum is capped at EXACTLY min(n, stratum size), and the
+    picked set is identical however the input is partitioned."""
+    from pyorchdb_spark.operators.sampling import stratified_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    sizes = {r["lang"]: r["c"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "c").collect()}
+    out = stratified_quota(docs, strata=["lang"], n_per_stratum=10, order_cols=["doc_id"])
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").count().withColumnRenamed("count", "c").collect()}
+    assert got == {lang: min(10, n) for lang, n in sizes.items()}
+
+    picked1 = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    picked2 = {
+        (r["doc_id"], r["lang"])
+        for r in stratified_quota(
+            docs.repartition(13), strata=["lang"], n_per_stratum=10, order_cols=["doc_id"]
+        ).collect()
+    }
+    assert picked1 == picked2
