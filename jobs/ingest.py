@@ -15,6 +15,12 @@ run_workflow.py, reborn as one idempotent job):
         # independent global-LWW pass over the log vs the replayed
         # table: per-row content sha256 equality (the north-rule gate)
 
+    spark-submit --py-files dist/engine.zip jobs/ingest.py aggview \
+        --table /data/code_files --view /data/code_files_by_lang \
+        --group lang
+        # refresh the durable maintained aggregate view (exactly-once
+        # IVM, sources/aggview.py) and cross-check vs full recompute
+
 Prints one JSON line with rows/sec so the scaling harness (BENCH/) can
 compare N vs 4N parallelism.
 """
@@ -240,6 +246,36 @@ def cmd_compact(args) -> dict:
     }
 
 
+def cmd_aggview(args) -> dict:
+    """Refresh (or bootstrap) a durable maintained aggregate view over a
+    replayed table (sources/aggview.py) and cross-check the stored
+    aggregate against a full recompute of the snapshot — reports
+    match_full_recompute so operators can gate on it."""
+    from pyorchdb_spark.operators.ivm import group_contributions
+    from pyorchdb_spark.sources.aggview import MaintainedAggregate
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    lake = LakeTable(spark, args.table)
+    view = MaintainedAggregate(lake, args.view, args.group, args.sum)
+    t0 = time.time()
+    agg = view.refresh()
+    sec = round(time.time() - t0, 3)
+    got = {tuple(r) for r in agg.collect()}
+    truth = {
+        tuple(r)
+        for r in group_contributions(lake.snapshot(), args.group, args.sum).collect()
+    }
+    return {
+        "cmd": "aggview",
+        "view_version": view.current_version(),
+        "base_version": lake.manifest().version,
+        "groups": len(got),
+        "match_full_recompute": got == truth,
+        "sec": sec,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -302,6 +338,14 @@ def main(argv=None) -> None:
     k.add_argument("--shuffle-partitions", type=int, default=None)
     k.add_argument("--master", default=None)
 
+    a = sub.add_parser("aggview")
+    a.add_argument("--table", required=True)
+    a.add_argument("--view", required=True)
+    a.add_argument("--group", default="lang")
+    a.add_argument("--sum", nargs="*", default=[])
+    a.add_argument("--shuffle-partitions", type=int, default=None)
+    a.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
     out = {
         "generate": cmd_generate,
@@ -309,6 +353,7 @@ def main(argv=None) -> None:
         "verify": cmd_verify,
         "changes": cmd_changes,
         "compact": cmd_compact,
+        "aggview": cmd_aggview,
     }[args.cmd](args)
     print(json.dumps(out))
 

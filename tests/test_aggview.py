@@ -91,3 +91,37 @@ def test_bootstrap_on_existing_table(spark, tmp_path):
     assert _got(view) == _truth(lake)
     lake.merge(_b(spark, BATCHES[2]), batch_id="b2")
     assert _got(view) == _truth(lake)
+
+
+def test_cli_aggview_refresh_and_noop(spark, tmp_path, capsys):
+    """The aggview CLI bootstraps a view over a replayed table, reports
+    match_full_recompute, and a head-of-table re-run is a version no-op."""
+    import importlib.util
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _sys.path.insert(0, repo)
+    spec = importlib.util.spec_from_file_location(
+        "jobs_ingest", _os.path.join(repo, "jobs", "ingest.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    events = str(tmp_path / "events")
+    table = str(tmp_path / "t")
+    viewroot = str(tmp_path / "v")
+    mod.main(["generate", "--out", events, "--n-events", "2000", "--batch-size", "1000"])
+    capsys.readouterr()
+    mod.main(["replay", "--events", events, "--table", table, "--no-warmup"])
+    capsys.readouterr()
+    mod.main(["aggview", "--table", table, "--view", viewroot, "--group", "lang"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["match_full_recompute"] and out["groups"] >= 1
+    assert out["view_version"] == 1 and out["base_version"] >= 1
+
+    mod.main(["aggview", "--table", table, "--view", viewroot, "--group", "lang"])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["view_version"] == 1  # head-of-table refresh publishes nothing
+    assert out2["match_full_recompute"]
