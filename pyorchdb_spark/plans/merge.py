@@ -93,13 +93,18 @@ def resolve_full_sync(
 
     The high-watermark is a one-row aggregate joined back on a constant
     key (broadcast hash join of a single row) — no driver-side collect,
-    no cross join.
+    no cross join. An EMPTY source coalesces the watermark to -inf, so
+    the sync is a NO-OP (every target key is "newer than" the empty
+    snapshot and survives) — a missing/zero-row feed must not silently
+    delete the table, the classic NOT-MATCHED-BY-SOURCE footgun.
     """
     merged = resolve_merge(target_rows, source_events, keys=keys, seq_col=seq_col)
     src_keys = source_events.select(*keys).distinct()
     missing = merged.join(src_keys, list(keys), "left_anti")
     hw = (
-        source_events.agg(F.max(F.col(seq_col)).alias("_hw"))
+        source_events.agg(
+            F.coalesce(F.max(F.col(seq_col)), F.lit(-(1 << 62))).alias("_hw")
+        )
         .withColumn("_k", F.lit(1))
     )
     missing = missing.withColumn("_k", F.lit(1)).join(F.broadcast(hw), "_k").drop("_k")

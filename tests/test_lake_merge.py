@@ -428,3 +428,19 @@ def test_resolve_full_sync_semantics(spark):
     after = resolve_merge(synced, late, keys=("repo", "path"), seq_col="seq")
     got = {r["path"]: r for r in after.filter(F.col("op") != "delete").collect()}
     assert got["drop_stale"]["content"] == "back"
+
+
+def test_resolve_full_sync_empty_source_is_noop(spark):
+    """An empty snapshot must NOT delete the table (null high-watermark
+    would otherwise silently drop every missing key): full sync with a
+    zero-row source leaves the target state untouched."""
+    from pyorchdb_spark.plans.merge import resolve_full_sync
+
+    ddl = "repo string, path string, seq long, content string, op string"
+    target = spark.createDataFrame(
+        [("r", "a", 10, "x", "upsert"), ("r", "b", 20, "y", "upsert")], ddl
+    )
+    empty = spark.createDataFrame([], ddl)
+    synced = resolve_full_sync(target, empty, keys=("repo", "path"), seq_col="seq")
+    rows = {(r["path"], r["op"], r["content"]) for r in synced.collect()}
+    assert rows == {("a", "upsert", "x"), ("b", "upsert", "y")}
