@@ -106,6 +106,11 @@ class MaintainedAggregate:
             try:
                 os.link(tmp, target)
             except FileExistsError:
+                # lost a concurrent-refresh race: remove THIS attempt's
+                # data files (same contract as LakeTable._remove_orphans)
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
                 raise ConcurrentCommitError(target) from None
         finally:
             os.unlink(tmp)
