@@ -276,6 +276,26 @@ def cmd_aggview(args) -> dict:
     }
 
 
+def cmd_analyze(args) -> dict:
+    """ANALYZE TABLE: one aggregate pass over the snapshot computes
+    per-column row/null/approx-distinct/min/max stats, persisted as
+    versioned JSON beside the manifest (sources/stats.py)."""
+    from pyorchdb_spark.sources.lake import LakeTable
+    from pyorchdb_spark.sources.stats import analyze_table
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    lake = LakeTable(spark, args.table)
+    t0 = time.time()
+    stats = analyze_table(lake, rsd=args.rsd)
+    return {
+        "cmd": "analyze",
+        "version": stats["_version"],
+        "rows": stats["_rows"],
+        "columns": len([k for k in stats if not k.startswith("_")]),
+        "sec": round(time.time() - t0, 3),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -346,6 +366,12 @@ def main(argv=None) -> None:
     a.add_argument("--shuffle-partitions", type=int, default=None)
     a.add_argument("--master", default=None)
 
+    z = sub.add_parser("analyze")
+    z.add_argument("--table", required=True)
+    z.add_argument("--rsd", type=float, default=0.02)
+    z.add_argument("--shuffle-partitions", type=int, default=None)
+    z.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
     out = {
         "generate": cmd_generate,
@@ -354,6 +380,7 @@ def main(argv=None) -> None:
         "changes": cmd_changes,
         "compact": cmd_compact,
         "aggview": cmd_aggview,
+        "analyze": cmd_analyze,
     }[args.cmd](args)
     print(json.dumps(out))
 
