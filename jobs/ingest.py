@@ -276,6 +276,27 @@ def cmd_aggview(args) -> dict:
     }
 
 
+def cmd_rollback(args) -> dict:
+    """RESTORE the table to an earlier version (publishes a NEW head
+    with that version's files — history stays immutable; downstream
+    changes_since consumers past the restored horizon get an explicit
+    resync error instead of silently keeping rolled-back state)."""
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    spark = _spark(args.master, args.shuffle_partitions)
+    lake = LakeTable(spark, args.table)
+    t0 = time.time()
+    m = lake.rollback(args.to_version)
+    return {
+        "cmd": "rollback",
+        "version": m.version,
+        "restored": args.to_version,
+        "files": len(m.files),
+        "head_seq": m.head_seq,
+        "sec": round(time.time() - t0, 3),
+    }
+
+
 def cmd_analyze(args) -> dict:
     """ANALYZE TABLE: one aggregate pass over the snapshot computes
     per-column row/null/approx-distinct/min/max stats, persisted as
@@ -366,6 +387,12 @@ def main(argv=None) -> None:
     a.add_argument("--shuffle-partitions", type=int, default=None)
     a.add_argument("--master", default=None)
 
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-version", type=int, required=True)
+    rb.add_argument("--shuffle-partitions", type=int, default=None)
+    rb.add_argument("--master", default=None)
+
     z = sub.add_parser("analyze")
     z.add_argument("--table", required=True)
     z.add_argument("--rsd", type=float, default=0.02)
@@ -381,6 +408,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "aggview": cmd_aggview,
         "analyze": cmd_analyze,
+        "rollback": cmd_rollback,
     }[args.cmd](args)
     print(json.dumps(out))
 

@@ -144,6 +144,17 @@ class MaintainedAggregate:
         agg = self._stored_agg(vm)
         for v in range(vm["base_version"] + 1, base.version + 1):
             mv = self.lake.manifest(v)
+            if mv.batch_id and str(mv.batch_id).startswith("rollback-to-"):
+                # a rollback removes keys that appear in NO new file
+                # (they lived only in the rolled-back-from head), so the
+                # per-key diff below cannot see them — re-bootstrap from
+                # the restored snapshot (O(table), like the rollback's
+                # own state change)
+                snap = self.lake.snapshot(version=v)
+                agg = group_contributions(
+                    _live(snap), self.group_col, self.sum_cols
+                ).localCheckpoint(eager=False)
+                continue
             if mv.batch_id and str(mv.batch_id).startswith("compact"):
                 continue  # state-preserving rewrite
             mprev = self.lake.manifest(v - 1)

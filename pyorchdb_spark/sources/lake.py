@@ -120,6 +120,13 @@ class Manifest:
     # low-watermark); ingest quarantines events with seq <= this, so a
     # dropped tombstone can never be resurrected by a straggler
     tombstone_watermark: int | None = None
+    # the table's seq HORIZON: highest seq ever applied on this lineage.
+    # Monotone across merges/compactions (tombstone GC may lower the
+    # surviving files' max seq; the horizon stays); rewound ONLY by
+    # rollback(), which is what lets changes_since() detect a consumer
+    # checkpointed beyond a rolled-back head. None = unknowable
+    # (stats-less/foreign files or pre-upgrade manifests) — guards skip.
+    head_seq: int | None = None
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -133,6 +140,7 @@ class Manifest:
                 "schema": json.loads(self.schema_json),
                 "n_buckets": self.n_buckets,
                 "tombstone_watermark": self.tombstone_watermark,
+                "head_seq": self.head_seq,
                 "files": self.files,
             }
         )
@@ -148,6 +156,7 @@ class Manifest:
             files=d["files"],
             n_buckets=d.get("n_buckets"),
             tombstone_watermark=d.get("tombstone_watermark"),
+            head_seq=d.get("head_seq"),
         )
 
 
@@ -353,6 +362,31 @@ class LakeTable:
                 f"({m.tombstone_watermark}): deletes up to the watermark may be "
                 "physically gone — resync from a full snapshot() instead"
             )
+        # ahead-of-head guard: a consumer whose checkpoint exceeds the
+        # table's seq horizon was reading a FUTURE the table no longer
+        # has — i.e. the table was rolled back past their position. An
+        # empty changeset would leave them holding rolled-back state
+        # forever; they must full-resync. ``head_seq`` is MONOTONE
+        # across merges and compactions (a drop-all tombstone GC may
+        # lower the surviving files' max seq, but not the horizon) and
+        # is rewound ONLY by rollback() — exactly the event this guard
+        # surfaces. The tombstone watermark extends the horizon: a
+        # consumer who resynced after the watermark guard legitimately
+        # resumes AT the advertised watermark even when it exceeds
+        # every applied seq. A caught-up consumer resumes from
+        # since == horizon, never >, so normal operation can't trip
+        # this; manifests without head_seq (stats-less/foreign files,
+        # pre-upgrade tables) skip the check conservatively.
+        if m is not None and m.head_seq is not None:
+            horizon = m.head_seq
+            if m.tombstone_watermark is not None:
+                horizon = max(horizon, m.tombstone_watermark)
+            if seq > horizon:
+                raise ValueError(
+                    f"changes_since({seq}) is ahead of the table's seq horizon "
+                    f"({horizon}): the table was rolled back past this "
+                    "checkpoint — resync from a full snapshot() instead"
+                )
         if m is None or not m.files:
             return self.spark.createDataFrame([], m.schema() if m else StructType())
         candidates = [
@@ -468,6 +502,24 @@ class LakeTable:
         return sorted(
             {f["nb"] for f in m.files if f.get("bucket") is not None and f.get("nb")}
         )
+
+    @staticmethod
+    def _derive_head_seq(parent: Manifest | None, files: list[dict]) -> int | None:
+        """Monotone seq horizon for a new manifest: max of the parent's
+        horizon and the new file set's footer seq ranges — pure driver
+        arithmetic, no job. Any file without footer stats makes the
+        horizon unknowable (None) and the ahead-of-head guard skips.
+        A pre-``head_seq`` table adopts the current files' max on its
+        next commit; if a drop-all tombstone GC already removed the true
+        head that understates the horizon, which errs toward demanding a
+        (always-correct) resync."""
+        maxes = [f.get("seq_max") for f in files]
+        if any(mx is None for mx in maxes):
+            return None
+        file_max = max(maxes) if maxes else None
+        parent_h = parent.head_seq if parent is not None else None
+        vals = [v for v in (parent_h, file_max) if v is not None]
+        return max(vals) if vals else None
 
     def _affected_files(
         self, m: Manifest, source: DataFrame, hits: set[tuple[int, int]] | None = None
@@ -645,6 +697,7 @@ class LakeTable:
             files=sorted(untouched + new_files, key=lambda f: f["path"]),
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
             tombstone_watermark=m.tombstone_watermark if m else None,
+            head_seq=self._derive_head_seq(m, untouched + new_files),
         )
         try:
             self._publish(manifest)
@@ -715,6 +768,7 @@ class LakeTable:
             # inside _write_data_files can still raise it)
             n_buckets=max([table_nb] + [f["nb"] for f in new_files]),
             tombstone_watermark=m.tombstone_watermark,
+            head_seq=self._derive_head_seq(m, m.files + new_files),
         )
         try:
             self._publish(manifest)
@@ -746,6 +800,7 @@ class LakeTable:
             files=new_files,
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
             tombstone_watermark=m.tombstone_watermark if m else None,
+            head_seq=self._derive_head_seq(m, new_files),
         )
         try:
             self._publish(manifest)
@@ -797,6 +852,7 @@ class LakeTable:
             files=new_files,
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
             tombstone_watermark=new_wm,
+            head_seq=self._derive_head_seq(m, new_files),
         )
         try:
             self._publish(manifest)
@@ -844,6 +900,46 @@ class LakeTable:
         if any(f.get("bucket") is None or not f.get("nb") for f in m.files):
             return True  # compact_partial would fall back to full compact
         return bool(self._partial_selection(m, delta_fraction, max_delta_files_per_group))
+
+    def rollback(self, to_version: int) -> Manifest:
+        """Restore the table to an earlier version's state — the
+        Iceberg/Delta RESTORE shape: publish a NEW head whose file list
+        and schema are those of ``to_version`` (roll-FORWARD to the
+        past). History stays immutable — no manifest or data file is
+        deleted, so time travel through the bad versions still works and
+        a rollback can itself be rolled back.
+
+        The tombstone GC watermark carries the CURRENT head's value, not
+        the restored version's: GC that already happened is physical;
+        advertising an older (lower) watermark would invite consumers to
+        resume from offsets whose deletes are gone. Downstream
+        incremental consumers (``changes_since``, aggview refresh) see
+        one ordinary commit whose new files are the restored ones and
+        diff against it exactly.
+        """
+        cur = self.manifest()
+        if cur is None:
+            raise ValueError("nothing to roll back")
+        old = self.manifest(to_version)  # raises if the version never existed
+        version = cur.version + 1
+        wm = cur.tombstone_watermark
+        if old.tombstone_watermark is not None:
+            wm = old.tombstone_watermark if wm is None else max(wm, old.tombstone_watermark)
+        manifest = Manifest(
+            version=version,
+            parent=cur.version,
+            batch_id=f"rollback-to-{to_version}",
+            schema_json=old.schema_json,
+            files=old.files,
+            n_buckets=old.n_buckets,
+            tombstone_watermark=wm,
+            # the horizon REWINDS to the restored version's — the one
+            # deliberate non-monotone transition, and exactly what lets
+            # changes_since() detect consumers checkpointed beyond it
+            head_seq=old.head_seq,
+        )
+        self._publish(manifest)
+        return manifest
 
     def compact_partial(
         self,
@@ -934,6 +1030,7 @@ class LakeTable:
             files=sorted(untouched + new_files, key=lambda f: f["path"]),
             n_buckets=max([n_buckets] + [f["nb"] for f in new_files]),
             tombstone_watermark=new_wm,
+            head_seq=self._derive_head_seq(m, untouched + new_files),
         )
         try:
             self._publish(manifest)

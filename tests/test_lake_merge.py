@@ -334,8 +334,15 @@ def test_changes_since_incremental_read_prunes_files(spark, tmp_path):
     read_files = lake.changes_since(cutoff).inputFiles()
     assert len(read_files) == n_candidates
 
-    # beyond the log: empty result, zero files
-    assert lake.changes_since(10**9).isEmpty()
+    # at the horizon: empty result, zero files read
+    assert lake.changes_since(lake.manifest().head_seq).isEmpty()
+    # BEYOND the horizon: the consumer's checkpoint names a future this
+    # table never applied (rollback signature) — explicit resync error,
+    # not a silent empty changeset (round 4, rollback support)
+    import pytest
+
+    with pytest.raises(ValueError, match="ahead of the table's seq horizon"):
+        lake.changes_since(10**9)
 
 
 def test_lookup_point_read_prunes_to_key_buckets(spark, tmp_path):
