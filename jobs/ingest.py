@@ -21,6 +21,16 @@ run_workflow.py, reborn as one idempotent job):
         # refresh the durable maintained aggregate view (exactly-once
         # IVM, sources/aggview.py) and cross-check vs full recompute
 
+    spark-submit --py-files dist/engine.zip jobs/ingest.py analyze \
+        --table /data/code_files
+        # ANALYZE: one-pass per-column stats persisted beside the manifest
+
+    spark-submit --py-files dist/engine.zip jobs/ingest.py rollback \
+        --table /data/code_files --to-version 7
+        # RESTORE an earlier version (new head, history immutable;
+        # downstream changes_since consumers past the restored horizon
+        # get an explicit resync error)
+
 Prints one JSON line with rows/sec so the scaling harness (BENCH/) can
 compare N vs 4N parallelism.
 """
