@@ -1195,15 +1195,35 @@ def q_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup verification (VERDICT r3 next #5), empty-set
-    oracle: the signatures are xxhash64-bit-vote values no SQL engine can
-    reproduce, but every pair simhash_pairs RETURNS must (a) report a
-    hamming equal to an INDEPENDENT numpy popcount of the XOR of the two
-    exported signatures, (b) satisfy hamming <= max_hamming, and (c) be
-    canonical (id_a < id_b). This query returns the violations; the
-    oracle is the empty set. Pair-set exactness vs a brute-force
-    all-pairs scan is asserted in tests/test_docs_dedup.py."""
-    docs = _t(spark, sf_dir, "documents")
+    """SimHash near-dup verification (VERDICT r3 next #5; made NON-VACUOUS
+    in r5 — the old empty-set oracle could not distinguish "no violations"
+    from "operator returned nothing"). The signatures are xxhash64
+    bit-vote values no SQL engine can reproduce, so the oracle checks
+    three SQL-derivable invariants in one summary row:
+
+    (a) ``n_violations`` = pairs whose reported hamming disagrees with an
+        INDEPENDENT numpy popcount of the XOR of the exported signatures,
+        exceeds max_hamming, or is non-canonical — must be 0;
+    (b) ``n_exact_pairs`` = exact-duplicate pairs (identical non-blank
+        text) — computed from the data by BOTH engines, >0 at every SF;
+    (c) ``n_exact_pairs_missing`` = exact-dup pairs the banding failed to
+        emit — must be 0, because identical text ⇒ identical signature ⇒
+        hamming 0, and pigeonhole banding has no bucket caps
+        (operators/dedup_docs.py:412-465).
+
+    The synthetic corpus carries no byte-identical duplicates, so (like
+    q_scrub_pii / q_remove_boilerplate) the input is salted first with
+    deterministic copies of every 50th doc — both engines derive the
+    identical salted corpus, making (b)/(c) non-vacuous at every SF.
+
+    Pair-set exactness vs a brute-force all-pairs scan is separately
+    asserted in tests/test_docs_dedup.py."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+    )
     # with_signatures exports (s_a, s_b) so verification reuses the
     # signatures already computed inside the banding — not a second
     # corpus hashing pass
@@ -1219,11 +1239,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked = pairs.withColumn(
         "np_ham", np_popcount(F.col("s_a").bitwiseXOR(F.col("s_b")))
     )
-    return checked.filter(
+    viol = checked.filter(
         (F.col("hamming") != F.col("np_ham"))
         | (F.col("hamming") > 3)
         | (F.col("id_a") >= F.col("id_b"))
-    ).select("id_a", "id_b")
+    )
+    # exact-dup pairs on a thin sha key (never joins full text); blank
+    # docs tokenize to nothing and carry no simhash row, so exclude them
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h")
+    )
+    ex_pairs = (
+        d.select(F.col("doc_id").alias("id_a"), "h")
+        .join(d.select(F.col("doc_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    missing = ex_pairs.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    # single-row summary via one tagged union-aggregate (no cross join)
+    u = (
+        viol.select(F.lit("viol").alias("k"))
+        .unionByName(ex_pairs.select(F.lit("exact").alias("k")))
+        .unionByName(missing.select(F.lit("missing").alias("k")))
+    )
+    return u.agg(
+        F.coalesce(F.sum((F.col("k") == "viol").cast("long")), F.lit(0)).alias("n_violations"),
+        F.coalesce(F.sum((F.col("k") == "exact").cast("long")), F.lit(0)).alias("n_exact_pairs"),
+        F.coalesce(F.sum((F.col("k") == "missing").cast("long")), F.lit(0)).alias("n_exact_pairs_missing"),
+    )
 
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,14 +1496,26 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed near-dup pairs, reported as a CONTAINMENT check
     (VERDICT round 1, next-round item 6): the LSH path exact-verifies
     cosine on candidates, so its output must be a subset of the exact
-    all-pairs result — this query returns the violations (LSH pairs NOT
-    in the exact set), which must be empty; the oracle is the empty set.
-    Recall (the part SQL can't pin down — hash-family-dependent) is
-    asserted in tests/test_similarity.py."""
+    all-pairs result. r5: non-vacuous summary form — one row with
+    ``n_containment_violations`` (LSH pairs NOT in the exact set; must
+    be 0) and ``n_true_pairs`` (the exact all-pairs count, derived from
+    the data by BOTH engines, >0 at every test SF — proves neither side
+    returned an empty result by accident). Recall (the part SQL can't
+    pin down — hash-family-dependent) is asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     lsh = embedding_neardup_pairs(emb, threshold=0.3, exact=False, n_bits=6).select("id_a", "id_b")
     exact = embedding_neardup_pairs(emb, threshold=0.3, exact=True).select("id_a", "id_b")
-    return lsh.join(exact, ["id_a", "id_b"], "left_anti")
+    viol = lsh.join(exact, ["id_a", "id_b"], "left_anti")
+    u = viol.select(F.lit("viol").alias("k")).unionByName(
+        exact.select(F.lit("exact").alias("k"))
+    )
+    return u.agg(
+        F.coalesce(F.sum((F.col("k") == "viol").cast("long")), F.lit(0)).alias(
+            "n_containment_violations"
+        ),
+        F.coalesce(F.sum((F.col("k") == "exact").cast("long")), F.lit(0)).alias("n_true_pairs"),
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,9 +1525,13 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path RETURNS must (a) report a cos_sim equal (±1e-9) to the exact
     cosine recomputed by an INDEPENDENT numpy path over the same
     vectors, and (b) carry a rank consistent with (cos_sim desc,
-    corpus_id asc) dense per query. This query returns the violations;
-    the oracle is the empty set. Recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    corpus_id asc) dense per query. This query returns one summary row
+    per query_id, which must show zero such violations AND exactly k
+    results (made NON-VACUOUS in r5: the old empty-violations oracle could
+    not distinguish "all correct" from "operator returned nothing"; the
+    per-query n_results=k row can — 3 probed cells of an 8-cell IVF always
+    hold >= 5 valid candidates at every test SF). Recall vs brute force is
+    asserted in tests/test_similarity.py."""
     from pyorchdb_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1500,9 +1559,13 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cv, "corpus_id")
         .withColumn("np_sim", np_cos("qv", "cv"))
     )
-    return checked.filter(
-        (F.abs(F.col("cos_sim") - F.col("np_sim")) > 1e-9) | (F.col("rank") != F.col("rerank"))
-    ).select("query_id", "corpus_id")
+    bad = (F.abs(F.col("cos_sim") - F.col("np_sim")) > 1e-9) | (
+        F.col("rank") != F.col("rerank")
+    )
+    return checked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.sum(bad.cast("long")).alias("n_violations"),
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,7 +1583,53 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver records only the FIRST 50 entries (dict insertion order) on
+    # the correctness board (VERDICT r4 "Next #1").  Slots 1-50 therefore go
+    # to: (a) the 31 queries that carried no driver row in r4 — every
+    # dedup_*/ann_*/scd2_*/text/UDF/sampling op, incl. the never-recorded
+    # ann_topk_ivf and the new-oracle dedup_simhash/dedup_substring/
+    # stratified_sample/repetition_stats; (b) the q12 fix (CAST AS BIGINT);
+    # (c) the load-bearing CDC/IVM/lineage rows; (d) one query per remaining
+    # operator family.  Everything rotated BELOW slot 50 was driver-green in
+    # CORRECTNESS_r04 (the full TPC-H suite and the events/curate family) and
+    # stays pytest-covered via tests/test_entry.py, which runs ALL entries.
     return {
+        # --- (a) LLM-pipeline ops, unrecorded in r4 (all driver-green in r3
+        #         except where noted; oracles unchanged since) -------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_substring": q_dedup_substring,          # oracle new in r4, never recorded
+        "dedup_groups": q_dedup_groups,
+        "dedup_fuzzy_resolve": q_dedup_fuzzy_resolve,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_groups": q_dedup_minhash_groups,
+        "dedup_simhash": q_dedup_simhash,              # oracle new in r4, never recorded
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,                # never recorded in any round
+        "scrub_pii": q_scrub_pii,
+        "decontaminate": q_decontaminate,
+        "remove_boilerplate": q_remove_boilerplate,
+        "stratified_sample": q_stratified_sample,      # oracle new in r4, never recorded
+        "train_val_split": q_train_val_split,
+        "curate_corpus": q_curate_corpus,
+        "text_stats": q_text_stats,
+        "doc_quality": q_doc_quality,
+        "repetition_stats": q_repetition_stats,        # oracle new in r4, never recorded
+        "clean_values": q_clean_values,
+        "fingerprint": q_fingerprint,
+        "normalize_paths": q_normalize_paths,
+        "sha256_udf": q_sha256_udf,
+        "lang_of_path": q_lang_of_path,
+        "corpus_ngrams": q_corpus_ngrams,
+        "topk_per_group": q_topk_per_group,
+        "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
+        "state_transitions": q_state_transitions,
+        # --- (b) the r4 hash-fail, oracle fixed this round ----------------
+        "q12_late_priority": q12_late_priority,
+        # --- (c) load-bearing CDC / IVM / lineage (green r4, keep on) -----
         "cdc_lww": q_cdc_lww,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_final_state": q_cdc_final_state,
@@ -1530,78 +1639,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "ivm_group_stats": q_ivm_group_stats,
         "lineage_counts": q_lineage_counts,
-        "filter_not_contains": q_filter_not_contains,
-        "insert_period": q_insert_period,
-        "distinct_directories": q_distinct_directories,
-        "union_evolution": q_union_evolution,
-        "topk_users": q_topk_users,
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "sessionize": q_sessionize,
-        "json_props": q_json_props,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "rolling_value": q_rolling_value,
-        "value_deciles": q_value_deciles,
-        "asof_latest_click": q_asof_latest_click,
-        "click_attribution": q_click_attribution,
-        "range_join_incidents": q_range_join_incidents,
-        "value_quantiles": q_value_quantiles,
-        "events_pivot": q_events_pivot,
-        "events_rollup": q_events_rollup,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q10_returned_items": q10_returned_items,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q12_late_priority": q12_late_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_idle_balances": q22_idle_balances,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_dominant_supplier": q20_dominant_supplier,
-        "scd2_history": q_scd2_history,
-        "scd2_incremental": q_scd2_incremental,
-        "state_transitions": q_state_transitions,
-        "corpus_ngrams": q_corpus_ngrams,
-        "topk_per_group": q_topk_per_group,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_substring": q_dedup_substring,
-        "dedup_groups": q_dedup_groups,
-        "dedup_fuzzy_resolve": q_dedup_fuzzy_resolve,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_groups": q_dedup_minhash_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "scrub_pii": q_scrub_pii,
-        "decontaminate": q_decontaminate,
-        "remove_boilerplate": q_remove_boilerplate,
-        "stratified_sample": q_stratified_sample,
-        "train_val_split": q_train_val_split,
-        "curate_corpus": q_curate_corpus,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "text_stats": q_text_stats,
-        "doc_quality": q_doc_quality,
-        "repetition_stats": q_repetition_stats,
-        "clean_values": q_clean_values,
-        "fingerprint": q_fingerprint,
-        "normalize_paths": q_normalize_paths,
-        "sha256_udf": q_sha256_udf,
-        "lang_of_path": q_lang_of_path,
-        "ann_topk": q_ann_topk,
-        "ann_topk_ivf": q_ann_topk_ivf,
+        # --- (d) one representative per remaining operator family --------
+        "union_evolution": q_union_evolution,          # A2/U2 schema evolution
+        "insert_period": q_insert_period,              # P8 regex period injection
+        "filter_not_contains": q_filter_not_contains,  # P6/P7 list filters
+        "distinct_directories": q_distinct_directories,  # A1/F1 split+index
+        "topk_users": q_topk_users,                    # O1 top-k
+        "sessionize": q_sessionize,                    # stateful-streaming batch twin
+        "asof_latest_click": q_asof_latest_click,      # as-of join custom op
+        "range_join_incidents": q_range_join_incidents,  # range join custom op
+        "value_quantiles": q_value_quantiles,          # approx/exact quantile op
+        # ------------------- slot 51+ (off the recorded board) -----------
+        # All rows below were driver-green in CORRECTNESS_r04 and are still
+        # run per-round by tests/test_entry.py against the same oracles.
+        "events_windowed": q_events_windowed,          # green r4
+        "events_sliding": q_events_sliding,            # green r4
+        "json_props": q_json_props,                    # green r4
+        "funnel_steps": q_funnel_steps,                # green r4
+        "cohort_retention": q_cohort_retention,        # green r4
+        "rolling_value": q_rolling_value,              # green r4
+        "value_deciles": q_value_deciles,              # green r4
+        "click_attribution": q_click_attribution,      # green r4
+        "events_pivot": q_events_pivot,                # green r4
+        "events_rollup": q_events_rollup,              # green r4
+        "q1_pricing_summary": q1_pricing_summary,      # green r4
+        "q3_shipping_priority": q3_shipping_priority,  # green r4
+        "q5_local_supplier_volume": q5_local_supplier_volume,  # green r4
+        "q6_forecast_revenue": q6_forecast_revenue,    # green r4
+        "q4_order_priority": q4_order_priority,        # green r4
+        "q10_returned_items": q10_returned_items,      # green r4
+        "q7_volume_shipping": q7_volume_shipping,      # green r4
+        "q14_promo_revenue": q14_promo_revenue,        # green r4
+        "q8_market_share": q8_market_share,            # green r4
+        "q9_product_profit": q9_product_profit,        # green r4
+        "q13_customer_distribution": q13_customer_distribution,  # green r4
+        "q15_top_supplier": q15_top_supplier,          # green r4
+        "q17_small_quantity": q17_small_quantity,      # green r4
+        "q18_large_volume": q18_large_volume,          # green r4
+        "q19_discounted_revenue": q19_discounted_revenue,  # green r4
+        "q21_waiting_supplier": q21_waiting_supplier,  # green r4
+        "q22_idle_balances": q22_idle_balances,        # green r4
+        "q2_min_cost_supplier": q2_min_cost_supplier,  # green r4
+        "q11_important_parts": q11_important_parts,    # green r4
+        "q16_supplier_count": q16_supplier_count,      # green r4
+        "q20_dominant_supplier": q20_dominant_supplier,  # green r4
     }
 
 
@@ -2050,10 +2131,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_late_priority": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -2502,23 +2583,41 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY component_id
         """,
         # dedup_embedding_lsh is a containment check (see the query
-        # docstring): violations of LSH-subset-of-exact must be empty.
+        # docstring): zero LSH-not-in-exact violations, anchored by the
+        # SQL-derived true all-pairs count so an empty result can't pass.
         "dedup_embedding_lsh": """
-            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-            WHERE 1 = 0
+            SELECT CAST(0 AS BIGINT) AS n_containment_violations,
+                   CAST(count(*) AS BIGINT) AS n_true_pairs
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.3
         """,
         # ann_topk_ivf / dedup_simhash are verification queries (see
         # their docstrings): the quantizer-model / hash-family dependent
         # candidate sets can't be reproduced in SQL, but their reported
-        # distances are re-derived independently in-engine and the
-        # violations must be empty.
+        # distances are re-derived independently in-engine. r5: both now
+        # return NON-VACUOUS summaries — result/exact-dup counts the SQL
+        # side derives from the data, not just empty violation sets.
         "ann_topk_ivf": """
-            SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id
-            WHERE 1 = 0
+            SELECT vec_id AS query_id,
+                   CAST(5 AS BIGINT) AS n_results,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM embeddings WHERE vec_id < 3
         """,
         "dedup_simhash": """
-            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-            WHERE 1 = 0
+            WITH s AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0
+            ), d AS (
+              SELECT doc_id, text FROM s WHERE length(trim(text)) > 0
+            ), g AS (
+              SELECT count(*) AS n FROM d GROUP BY text HAVING count(*) > 1
+            )
+            SELECT CAST(0 AS BIGINT) AS n_violations,
+                   CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_exact_pairs_missing
+            FROM g
         """,
         "text_stats": f"""
             SELECT doc_id,
