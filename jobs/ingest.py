@@ -109,13 +109,15 @@ def cmd_replay(args) -> dict:
             spark, args.events, lake, ledger, ckpt, salted=args.salted,
             num_files=args.num_files, mor=args.mor,
             max_files_per_trigger=args.max_files_per_trigger,
+            thin_shuffle=args.thin == "thin",
         )
     else:
         salted: bool | str = args.salted
         if getattr(args, "salt", None):
             salted = {"plain": False, "salted": True, "auto": "auto"}[args.salt]
+        thin: bool | str = {"off": False, "thin": True, "auto": "auto"}[args.thin]
         replay(lake, ledger, events, salted=salted, num_files=args.num_files,
-               jvm_only_udfs=args.jvm_hash, mor=args.mor)
+               jvm_only_udfs=args.jvm_hash, mor=args.mor, thin_shuffle=thin)
     dt = time.time() - t0
     return {
         "cmd": "replay",
@@ -344,6 +346,11 @@ def main(argv=None) -> None:
     r.add_argument("--table", required=True)
     r.add_argument("--mode", choices=["batch", "stream"], default="batch")
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--thin", choices=["off", "thin", "auto"], default="off",
+                   help="prune each batch to LWW winner-tuple rows before the "
+                        "fat bucket exchange (shuffle bytes track keys, not "
+                        "events); auto decides from the same sampled probe as "
+                        "--salt auto")
     r.add_argument("--salt", choices=["plain", "salted", "auto"], default=None,
                    help="skew strategy: 'auto' measures key frequency on a "
                         "deterministic sample and picks plain/salted + n_salts "

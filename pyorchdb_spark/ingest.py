@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,6 +111,8 @@ def apply_batch(
     mor: bool = False,
     fuse_metrics: bool = False,
     rows_hint: int | None = None,
+    stream_safe_metrics: bool = False,
+    thin_shuffle: bool = False,
 ) -> ApplyResult:
     """Apply one batch idempotently. Safe to call twice with the same id.
 
@@ -117,22 +120,66 @@ def apply_batch(
     (sources/lake.py merge-on-read): bytes written per batch stay
     proportional to the batch, never to the table.
 
-    ``fuse_metrics=True`` (batch-mode MoR only): attach the lineage/
-    quarantine aggregates to the merge-write plan as an ``Observation``
-    instead of running them as their own Spark job — the whole batch then
-    costs ONE Spark job. On this box a minimal 2-stage job floors at
-    ~0.3s of pure scheduling, so at the 10^4-micro-batch design point the
-    second job is the single largest per-batch fixed cost (VERDICT r3
-    next #3). Not used from the streaming tail: observations never fire
-    on plans derived from a foreachBatch DataFrame (they would hang).
-    CoW batches can't fuse either — the affected-bucket hit set must be
-    known BEFORE the merge plan is built. ``rows_hint`` (e.g. the
+    ``fuse_metrics=True`` (MoR only): attach the lineage/quarantine
+    aggregates to the merge-write plan instead of running them as their
+    own Spark job — the whole batch then costs ONE Spark job. On this box
+    a minimal 2-stage job floors at ~0.3s of pure scheduling, so at the
+    10^4-micro-batch design point the second job is the single largest
+    per-batch fixed cost (VERDICT r3 next #3). Batch mode rides an
+    ``Observation`` on the write plan; ``stream_safe_metrics=True``
+    switches to the accumulator-probe variant because observations never
+    fire on plans derived from a foreachBatch DataFrame (they would
+    hang) — that is the streaming tail's one-job path (VERDICT r4 next
+    #3). CoW batches can't fuse either way — the affected-bucket hit set
+    must be known BEFORE the merge plan is built. ``rows_hint`` (e.g. the
     previous batch's row count) sizes the delta's bucket generation since
     the fused path learns the true count only after the write.
     """
     if ledger.is_committed(batch_id):
         return ApplyResult(batch_id, skipped=True, version=None, rows_in=0, table_rows_after=0)
 
+    # AQE off for the span of one batch apply (saved/restored): a merge
+    # plan is fixed-shape — one user-specified repartition(n_buckets) and
+    # no joins — so AQE cannot improve it, but it MATERIALIZES the
+    # exchange as its own stage-job, doubling the per-batch job count
+    # (measured: 2 jobs/clean batch with AQE, 1 without). At the
+    # 10^4-micro-batch design point that second job IS the dominant fixed
+    # cost this path exists to remove (VERDICT r4 next #3). Session-scoped
+    # conf: the engine assumes no concurrent queries inside one apply
+    # (same single-writer contract the ledger already imposes).
+    conf = events.sparkSession.conf
+    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _apply_batch_inner(
+            lake, ledger, events, batch_id,
+            salted=salted, n_salts=n_salts, num_files=num_files,
+            cache_batch=cache_batch, jvm_only_udfs=jvm_only_udfs, mor=mor,
+            fuse_metrics=fuse_metrics, rows_hint=rows_hint,
+            stream_safe_metrics=stream_safe_metrics,
+            thin_shuffle=thin_shuffle,
+        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _apply_batch_inner(
+    lake: LakeTable,
+    ledger: BatchLedger,
+    events: DataFrame,
+    batch_id: str,
+    *,
+    salted: bool = False,
+    n_salts: int = 16,
+    num_files: int | None = None,
+    cache_batch: bool = False,
+    jvm_only_udfs: bool = False,
+    mor: bool = False,
+    fuse_metrics: bool = False,
+    rows_hint: int | None = None,
+    stream_safe_metrics: bool = False,
+    thin_shuffle: bool = False,
+) -> ApplyResult:
     prepared = prepare_events(events, jvm_only=jvm_only_udfs)
 
     # ONE key-columns-only pass over the batch (the sha UDF is
@@ -148,9 +195,11 @@ def apply_batch(
         lake.keys, watermark_seq=m.tombstone_watermark if m is not None else None
     )
     if fuse_metrics and mor and m is not None and m.files:
-        return _apply_batch_fused(
+        fused = _apply_batch_fused_acc if stream_safe_metrics else _apply_batch_fused
+        return fused(
             lake, ledger, prepared, batch_id, m, reason,
             salted=salted, n_salts=n_salts, rows_hint=rows_hint,
+            thin_shuffle=thin_shuffle,
         )
     metrics = ledger.collect_partition_metrics(
         prepared,
@@ -181,6 +230,14 @@ def apply_batch(
     # UDFs out of the key-only pruning scan and the lineage scan — only
     # the data-file write evaluates sha256 over content (measured 3x
     # regression with caching at local[32], see BENCH/BASELINE.md).
+    if thin_shuffle:
+        # VERDICT r4 next #4: keep fat content rows out of the bucket
+        # exchange — prune the batch to its LWW winner-tuple rows first
+        # (thin map-combined aggregate + broadcast semi-join). Valid rows
+        # only: an invalid row must never shadow the real winner.
+        from pyorchdb_spark.operators.dedup import prune_to_winners
+
+        prepared = prune_to_winners(prepared.filter(reason.isNull()), keys=lake.keys)
     if cache_batch:
         prepared = prepared.persist()
     try:
@@ -225,10 +282,17 @@ def _apply_batch_fused(
     salted: bool = False,
     n_salts: int = 16,
     rows_hint: int | None = None,
+    thin_shuffle: bool = False,
 ) -> ApplyResult:
     """ONE-job batch apply (MoR delta path): lineage/quarantine aggregates
     ride the merge-write plan as an ``Observation`` — no separate metrics
     job. See ``apply_batch(fuse_metrics=True)`` for when this is legal.
+
+    ``thin_shuffle``: prune to LWW winner-tuple rows before the fat bucket
+    exchange (VERDICT r4 next #4). The winner aggregate is computed from a
+    PROBE-FREE branch of the batch — the CollectMetrics node must appear
+    exactly once in the plan (on the fat branch) or its counts would
+    double.
 
     Lineage granularity is one row per batch (partition_id = -1): the
     observation yields global aggregates, and per-file granularity for
@@ -249,8 +313,14 @@ def _apply_batch_fused(
         F.max(seq_valid).alias("max_seq"),
         F.min(seq_valid).alias("min_seq"),
     )
+    src = observed.filter(reason.isNull())
+    if thin_shuffle:
+        from pyorchdb_spark.operators.dedup import prune_to_winners, winner_tuples
+
+        w = winner_tuples(prepared.filter(reason.isNull()), keys=lake.keys)
+        src = prune_to_winners(src, keys=lake.keys, winners=w)
     manifest = lake.merge(
-        observed.filter(reason.isNull()),
+        src,
         batch_id=batch_id,
         salted=salted,
         n_salts=n_salts,
@@ -299,6 +369,151 @@ def _apply_batch_fused(
     )
 
 
+class _BatchMetricsParam:
+    """AccumulatorParam for one batch's lineage metrics: a 5-tuple
+    ``(rows_in, n_invalid, tombstones, min_seq, max_seq)`` — sums on the
+    counters, semilattice min/max on the seq bounds (None = unobserved)."""
+
+    def zero(self, v):
+        return v
+
+    def addInPlace(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        mn = a[3] if b[3] is None else (b[3] if a[3] is None else min(a[3], b[3]))
+        mx = a[4] if b[4] is None else (b[4] if a[4] is None else max(a[4], b[4]))
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2], mn, mx)
+
+
+def _make_metrics_probe(acc):
+    """Arrow-vectorized pass-through probe: returns ``reason`` unchanged
+    while folding this Arrow batch's lineage aggregates into ``acc``. The
+    caller must reference the output EXACTLY once (filter, then drop) —
+    a second reference would re-evaluate the UDF and double-count
+    (Catalyst has no CSE across a filter/project pair; measured)."""
+
+    @F.pandas_udf("string")
+    def probe(reason: pd.Series, seq: pd.Series, op: pd.Series) -> pd.Series:
+        valid = reason.isna()
+        vseq = seq[valid].dropna()
+        acc.add(
+            (
+                int(len(reason)),
+                int((~valid).sum()),
+                int(((op == "delete") & valid).sum()),
+                int(vseq.min()) if len(vseq) else None,
+                int(vseq.max()) if len(vseq) else None,
+            )
+        )
+        return reason
+
+    return probe
+
+
+def _apply_batch_fused_acc(
+    lake: LakeTable,
+    ledger: BatchLedger,
+    prepared: DataFrame,
+    batch_id: str,
+    m,
+    reason,
+    *,
+    salted: bool = False,
+    n_salts: int = 16,
+    rows_hint: int | None = None,
+    thin_shuffle: bool = False,
+) -> ApplyResult:
+    """ONE-job batch apply for foreachBatch plans (MoR delta path).
+
+    The streaming twin of ``_apply_batch_fused``: observations never fire
+    on plans derived from a foreachBatch DataFrame (obs.get would hang the
+    tail), so here the lineage/quarantine aggregates ride the merge-write
+    job as ACCUMULATOR updates from an Arrow-vectorized pass-through probe
+    instead (VERDICT r4 next #3 — this removes the second per-batch Spark
+    job that held the 16M streaming gate at ~58% of batch-MoR throughput).
+
+    The probe column is referenced exactly once (the quarantine filter)
+    and then dropped, so it evaluates once per input row in the write
+    job's map stage — verified by accumulator count under both a plain
+    write and the LWW window.
+
+    Retry semantics (honest accounting): accumulator updates from
+    transformations can be re-applied if a stage recomputes (speculation /
+    executor loss — impossible in local mode, rare on a cluster). The
+    counters (rows_in / tombstones / n_invalid) could then over-report;
+    they feed reporting only. The GC-safety-critical values — min_seq /
+    max_seq, which derive the tombstone low-watermark — are idempotent
+    under re-update (semilattice), so watermark correctness never depends
+    on exactly-once accumulation.
+
+    Degenerate batches (e.g. every row quarantined) need no fallback here:
+    the quarantine filter depends on the non-foldable probe UDF, so
+    Catalyst cannot collapse the plan to an empty LocalRelation the way it
+    can under the Observation variant — rows always flow through the probe
+    and are counted."""
+    from pyspark.accumulators import AccumulatorParam
+
+    # build the param class on first use: AccumulatorParam is an ABC, so
+    # derive dynamically to keep the module import free of pyspark
+    # internals ordering concerns
+    param = type("_BMP", (_BatchMetricsParam, AccumulatorParam), {})()
+    sc = prepared.sparkSession.sparkContext
+    acc = sc.accumulator((0, 0, 0, None, None), param)
+    probe = _make_metrics_probe(acc)
+    observed = (
+        prepared.withColumn("_obs_reason", probe(reason, F.col("seq"), F.col("op")))
+        .filter(F.col("_obs_reason").isNull())
+        .drop("_obs_reason")
+    )
+    if thin_shuffle:
+        # winner tuples from a PROBE-FREE branch (same valid-row set): the
+        # probe must appear exactly once in the plan (fat branch) or the
+        # accumulator counts would double
+        from pyorchdb_spark.operators.dedup import prune_to_winners, winner_tuples
+
+        w = winner_tuples(prepared.filter(reason.isNull()), keys=lake.keys)
+        observed = prune_to_winners(observed, keys=lake.keys, winners=w)
+    manifest = lake.merge(
+        observed,
+        batch_id=batch_id,
+        salted=salted,
+        n_salts=n_salts,
+        mor=True,
+        rows_hint=rows_hint,
+        manifest=m,
+    )
+    rows_in_acc, n_invalid, tombstones, min_seq, max_seq = acc.value
+    metrics = [
+        {
+            "partition_id": -1,
+            "rows_in": int(rows_in_acc),
+            "tombstones": int(tombstones),
+            "max_seq": max_seq,
+            "min_seq": min_seq,
+        }
+    ]
+    rejected = int(n_invalid)
+    if rejected:
+        # rare path: one extra (tiny) job to materialize quarantined rows
+        ledger.record_rejects(
+            batch_id,
+            prepared.withColumn("reject_reason", reason).filter(F.col("reject_reason").isNotNull()),
+        )
+    table_rows = sum(f["rows"] for f in manifest.files)
+    rows_in = ledger.record_lineage(batch_id, metrics, table_rows_after=table_rows)
+    ledger.commit_marker(batch_id, manifest.version, rows_in)
+    return ApplyResult(
+        batch_id,
+        skipped=False,
+        version=manifest.version,
+        rows_in=rows_in,
+        table_rows_after=table_rows,
+        rows_rejected=rejected,
+    )
+
+
 def replay(
     lake: LakeTable,
     ledger: BatchLedger,
@@ -312,6 +527,7 @@ def replay(
     mor: bool = False,
     mor_compact_factor: int = 8,
     tombstone_lag_batches: int | None = None,
+    thin_shuffle: bool | str = False,
 ) -> list[ApplyResult]:
     """Batch-mode replay of a whole event log in batch_id order.
 
@@ -335,11 +551,25 @@ def replay(
     sampled column-pruned job, ``choose_salt_strategy``) and pick
     plain/salted + n_salts from the evidence — uniform feeds keep plain
     throughput, hot-key feeds get just enough salt.
-    """
-    if salted == "auto":
-        from pyorchdb_spark.operators.dedup import choose_salt_strategy
 
-        salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
+    ``thin_shuffle``: prune each batch to its LWW winner-tuple rows before
+    the fat bucket exchange (VERDICT r4 next #4) — shuffle bytes then track
+    distinct keys, not events. ``"auto"`` decides from the SAME sampled
+    probe as ``salted="auto"`` (dup ratio >= 2); when thin wins, salting is
+    redundant (the thin aggregate partial-combines map-side, so hot keys
+    never concentrate an exchange partition) and is forced off.
+    """
+    if salted == "auto" or thin_shuffle == "auto":
+        from pyorchdb_spark.operators.dedup import choose_salt_strategy, choose_strategies
+
+        if thin_shuffle == "auto":
+            auto_salted, auto_n, thin_shuffle = choose_strategies(events, keys=lake.keys)
+            if salted == "auto":
+                salted, n_salts = auto_salted, auto_n
+        else:
+            salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
+    if thin_shuffle is True:
+        salted = False  # redundant under thin pruning (see docstring)
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
     prev_rows: int | None = None
@@ -361,6 +591,7 @@ def replay(
             # batch size, and the hint only picks a power-of-two layout)
             fuse_metrics=True,
             rows_hint=prev_rows,
+            thin_shuffle=bool(thin_shuffle),
         )
         if not res.skipped and res.rows_in:
             prev_rows = res.rows_in

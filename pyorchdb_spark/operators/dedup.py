@@ -166,6 +166,73 @@ def lww_dedup_bucketed(
     )
 
 
+def winner_tuples(
+    events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
+) -> DataFrame:
+    """Each key's winning (seq, tiebreakers) order tuple, computed over a
+    COLUMN-PRUNED projection: ``max(struct(seq, commit, op))`` is exactly
+    the LWW order (all-desc, nulls-last — struct comparison ranks a null
+    field below any value, matching ``desc_nulls_last``), and the hash
+    aggregate partial-combines map-side, so the shuffle carries at most
+    one THIN row per key per map task — never the content column, and
+    immune to key skew (a hot key collapses to one candidate per task
+    before the exchange). Output columns: keys + order columns."""
+    tiebreakers = [c for c in tiebreakers if c in events.columns]
+    order_cols = [seq_col, *tiebreakers]
+    return (
+        events.groupBy(*keys)
+        .agg(F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_w"))
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order_cols])
+    )
+
+
+def prune_to_winners(
+    events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    tiebreakers: Sequence[str] = DEFAULT_TIEBREAKERS,
+    winners: DataFrame | None = None,
+) -> DataFrame:
+    """Thin-shuffle prestage (VERDICT r4 next #4 — shuffle byte-volume):
+    drop every row that cannot win LWW *before* the fat bucket exchange.
+
+    Two passes over the (columnar) source instead of one, but the wide
+    shuffle downstream then carries ~|keys| fat rows instead of |events|:
+    at the 16M-replay dup ratio (~4.7x per 4M batch, ~19x single-MERGE)
+    that is the dominant shuffle-byte reduction available. Pass 1 is the
+    thin ``winner_tuples`` aggregate; pass 2 re-reads the source WITH
+    content and keeps only rows whose (keys, order) tuple equals their
+    key's winner — a null-safe equi-join against the broadcast winner set
+    (bounded by the batch's distinct keys; the probe side streams map-side
+    with NO exchange).
+
+    Lossless and exact: the true LWW winner's tuple IS the max, so it
+    always survives; rows kept beyond it are exact order-ties (e.g.
+    re-delivered duplicates), which the downstream LWW pass re-resolves
+    to one row exactly as it would have without pruning. Equivalence is
+    property-tested in tests/test_dedup.py.
+
+    ``winners``: optionally a precomputed ``winner_tuples`` frame over an
+    equivalent row set — ingest's fused paths pass a probe-free branch so
+    lineage accumulators/observations are never evaluated twice."""
+    tiebreakers = [c for c in tiebreakers if c in events.columns]
+    order_cols = [seq_col, *tiebreakers]
+    w = winners if winners is not None else winner_tuples(events, keys, seq_col, tiebreakers)
+    # fresh names on the broadcast side: winners derives from `events`, so
+    # reusing its attribute ids in a join condition would be ambiguous
+    wren = w.select(
+        *[F.col(c).alias(f"_wt_{c}") for c in [*keys, *order_cols]]
+    )
+    cond = None
+    for c in [*keys, *order_cols]:
+        e = F.col(c).eqNullSafe(F.col(f"_wt_{c}"))
+        cond = e if cond is None else (cond & e)
+    return events.join(F.broadcast(wren), cond, "left_semi")
+
+
 def choose_salt_strategy(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
@@ -197,6 +264,44 @@ def choose_salt_strategy(
     deciding per micro-batch would re-add a per-batch fixed-cost job
     (VERDICT r2 #1).
     """
+    # legacy 2-tuple form: decide salting as if thin pruning were
+    # unavailable (thin_dup_ratio=inf), so callers that cannot prune
+    # still get the salted plan on hot-key feeds
+    salted, n_salts, _thin = choose_strategies(
+        events, keys, seq_col,
+        sample_mod=sample_mod, min_sample=min_sample,
+        min_hot_rows=min_hot_rows, max_salts=max_salts,
+        thin_dup_ratio=float("inf"),
+    )
+    return salted, n_salts
+
+
+def choose_strategies(
+    events: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    seq_col: str = "seq",
+    sample_mod: int = 101,
+    min_sample: int = 256,
+    min_hot_rows: int = 20,
+    max_salts: int = 64,
+    thin_dup_ratio: float = 2.0,
+) -> tuple[bool, int, bool]:
+    """``choose_salt_strategy`` plus a thin-shuffle decision: returns
+    ``(salted, n_salts, thin_shuffle)``.
+
+    Skew evidence reuses the sampled per-row probe. The duplication ratio
+    (events per distinct key) CANNOT come from that sample — a 1/101 row
+    sample sees almost every key once regardless of the true ratio
+    (measured: a ratio-5 feed sampled to ~1.0) — so it comes from one
+    extra map-mostly aggregate over the full input: exact row count +
+    ``approx_count_distinct`` HLL sketch of the key hash (partial-combined
+    map-side; the shuffle carries one sketch per task, never key rows).
+    ``prune_to_winners`` pays two source passes plus a broadcast, which
+    wins only when the fat bucket exchange would carry materially more
+    rows than keys — default crossover at ratio >= ``thin_dup_ratio``.
+    When thin pruning is on, salting is redundant (the thin aggregate
+    partial-combines map-side, so hot keys never concentrate an
+    exchange partition), so thin forces plain LWW downstream."""
     spark = events.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sampled = events.select(*keys, seq_col).filter(
@@ -210,14 +315,25 @@ def choose_salt_strategy(
     )
     n = int(row["n"] or 0)
     mx = int(row["mx"] or 0)
-    if n < min_sample or mx < min_hot_rows:
-        return False, 16
+    thin = False
+    if thin_dup_ratio != float("inf"):
+        g = events.agg(
+            F.count(F.lit(1)).alias("N"),
+            F.approx_count_distinct(
+                F.xxhash64(*[F.col(k) for k in keys]), 0.02
+            ).alias("K"),
+        ).collect()[0]
+        total = int(g["N"] or 0)
+        kd = max(int(g["K"] or 0), 1)
+        thin = bool(total >= min_sample and (total / kd) >= thin_dup_ratio)
+    if thin or n < min_sample or mx < min_hot_rows:
+        return False, 16, thin
     hot_share = mx / n
     if hot_share <= 4.0 / n_parts:
-        return False, 16
+        return False, 16, thin
     want = max(8, min(max_salts, int(hot_share * n_parts) + 1))
     n_salts = 1 << (want - 1).bit_length()  # next power of two
-    return True, min(n_salts, max_salts)
+    return True, min(n_salts, max_salts), thin
 
 
 def final_state(
