@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--batch-pct", type=float, default=0.5)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--num-files", type=int, default=None,
+                    help="bucket count for the base table: a fine layout "
+                         "(e.g. 1024) lets the manifest prune maintenance "
+                         "reads to the batch's buckets - the 100TB design "
+                         "point; the default coarse layout shows the "
+                         "small-scale crossover honestly")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -84,7 +90,7 @@ def main() -> None:
         root = os.path.join(work, tag)
         shutil.rmtree(root, ignore_errors=True)
         lake = LakeTable(spark, root)
-        lake.merge(with_bytes(initial), batch_id="init", mor=True)
+        lake.merge(with_bytes(initial), batch_id="init", mor=True, num_files=args.num_files)
         return lake
 
     def run_merge_only():
@@ -141,7 +147,7 @@ def main() -> None:
             timings["merge_plus_maintain"] - timings["merge_only"], 3
         ),
         "exact_match_vs_rebuild": maintained == truth,
-        "runs": args.runs,
+        "runs": args.runs, "num_files": args.num_files,
         "cpus": args.cpus,
     }
     shutil.rmtree(work, ignore_errors=True)

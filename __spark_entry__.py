@@ -1091,6 +1091,39 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", "valid_from_seq", "valid_to_seq", "is_current")
 
 
+def q_scd2_lake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-backed SCD2 (sources/scd_table.py, VERDICT r4 next #8): fold
+    the changelog into a BUCKETED stored history in two commits — the
+    second fold reads only the affected key-buckets via manifest
+    arithmetic — then read the stored table. The oracle is the same
+    full-log window rebuild as scd2_history: bucket-pruned incremental
+    storage must be indistinguishable from it."""
+    import shutil
+    import tempfile
+
+    from pyorchdb_spark.sources.scd_table import Scd2Table
+
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.agg(F.floor(F.max("event_id") * 2 / 3).alias("t")).first()[0]
+    root = tempfile.mkdtemp(prefix="scd2_lake_")
+    try:
+        t = Scd2Table(
+            spark, root, key_cols=["user_id"], seq_col="event_id",
+            state_cols=["event_type"],
+        )
+        t.apply_batch(ev.filter(F.col("event_id") <= thr), batch_id="b0", num_files=16)
+        t.apply_batch(ev.filter(F.col("event_id") > thr), batch_id="b1")
+        out = t.read().select(
+            "user_id", "event_type", "valid_from_seq", "valid_to_seq", "is_current"
+        )
+        # materialize before the temp table vanishes (bounded: one row per
+        # state run; the driver collects the result anyway)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event_type transition counts over each user's
     sequence-ordered changelog (operators/scd.py transition_counts)."""
@@ -1626,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "scd2_lake_incremental": q_scd2_lake_incremental,  # new r5 (bucket-pruned folds)
         "state_transitions": q_state_transitions,
         # --- (b) the r4 hash-fail, oracle fixed this round ----------------
         "q12_late_priority": q12_late_priority,
@@ -1648,8 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,                    # stateful-streaming batch twin
         "asof_latest_click": q_asof_latest_click,      # as-of join custom op
         "range_join_incidents": q_range_join_incidents,  # range join custom op
-        "value_quantiles": q_value_quantiles,          # approx/exact quantile op
         # ------------------- slot 51+ (off the recorded board) -----------
+        "value_quantiles": q_value_quantiles,          # green r4; approx/exact quantile op
         # All rows below were driver-green in CORRECTNESS_r04 and are still
         # run per-round by tests/test_entry.py against the same oracles.
         "events_windowed": q_events_windowed,          # green r4
@@ -2307,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scd2_history": _SCD2_SQL,
         "scd2_incremental": _SCD2_SQL,
+        "scd2_lake_incremental": _SCD2_SQL,
         "state_transitions": """
             SELECT prev_state, next_state, count(*) AS n_transitions FROM (
               SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)

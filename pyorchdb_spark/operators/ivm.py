@@ -67,6 +67,24 @@ def group_contributions(
     return rows.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
 
 
+def signed_contrib_rows(
+    rows: DataFrame, group_col: str, sum_cols: Sequence[str], sign: int
+) -> DataFrame:
+    """Per-ROW contribution triples ``(grp, n_rows=±1, sum_<c>=±value)`` —
+    no pre-aggregation. Unioned with a stored aggregate and grouped ONCE,
+    this replaces the old three-aggregate union (retract groupBy + add
+    groupBy + final groupBy) with a single exchange (VERDICT r4 next #5:
+    cut the IVM fixed cost — fuse old-retract and new-add into one plan).
+    Null values contribute null to the sum (skipped, same as the
+    aggregated form) while still counting in n_rows."""
+    cols = [F.col(group_col).alias("grp"), F.lit(sign).cast("long").alias("n_rows")]
+    for c in sum_cols:
+        cols.append(
+            (F.col(c).cast(_IN_DEC).cast(_SUM_DEC) * F.lit(sign)).cast(_SUM_DEC).alias(f"sum_{c}")
+        )
+    return rows.select(*cols)
+
+
 def apply_delta(
     prev_agg: DataFrame,
     retract_rows: DataFrame,
@@ -77,13 +95,19 @@ def apply_delta(
     """One maintenance step: prev_agg - contributions(old rows of the
     changed keys) + contributions(new rows of the changed keys).
 
+    ONE exchange: the raw old/new rows are sign-tagged per row
+    (``signed_contrib_rows``) and unioned with the stored aggregate
+    before a single groupBy — sum is associative/commutative and the
+    accumulation is exact decimal, so this is value-identical to
+    aggregating each side first (r4 shape), at a third of the shuffles.
+
     Groups whose count reaches zero vanish (exact decimal retraction
     guarantees their sums are simultaneously zero). The result has the
     same schema as ``group_contributions`` output, so steps compose.
     """
-    neg = group_contributions(retract_rows, group_col, sum_cols, negate=True)
-    pos = group_contributions(add_rows, group_col, sum_cols)
-    merged = prev_agg.unionByName(neg).unionByName(pos)
+    merged = prev_agg.unionByName(
+        signed_contrib_rows(retract_rows, group_col, sum_cols, -1)
+    ).unionByName(signed_contrib_rows(add_rows, group_col, sum_cols, 1))
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
         F.sum(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}") for c in sum_cols
     ]
@@ -129,16 +153,18 @@ def ivm_step(
     return new_state, agg
 
 
-def lake_scoped_state(lake, manifest, batch_events: DataFrame) -> DataFrame:
-    """Live state of the batch's keys at ``manifest``, reading ONLY the
+def lake_scoped_state(lake, manifest, batch_events: DataFrame, live: bool = True) -> DataFrame:
+    """State of the batch's keys at ``manifest``, reading ONLY the
     affected bucket files (the same manifest arithmetic MERGE uses) —
     the O(batch) read that keeps lake-backed maintenance off the table
     scan path. MoR deltas in the affected set resolve LWW as in
-    ``snapshot``."""
+    ``snapshot``. ``live=False`` keeps resolved tombstone winners in the
+    output (needed when the caller folds a delta on top: the tombstone
+    must participate in the next LWW round)."""
     affected, _ = lake._affected_files(manifest, batch_events)
     if not affected:
         empty = lake.spark.createDataFrame([], manifest.schema())
-        return _live(empty)
+        return _live(empty) if live else empty
     paths = [os.path.join(lake.root, f["path"]) for f in affected]
     df = lake.spark.read.schema(manifest.schema()).parquet(*paths)
     # semi-join BEFORE any MoR LWW resolution (same order as
@@ -150,7 +176,29 @@ def lake_scoped_state(lake, manifest, batch_events: DataFrame) -> DataFrame:
         from pyorchdb_spark.operators.dedup import lww_dedup
 
         df = lww_dedup(df, keys=lake.keys)
-    return _live(df)
+    return _live(df) if live else df
+
+
+def _delta_hit_set(delta_files: list, base_gens: list) -> set:
+    """Driver-only bucket arithmetic: map a delta commit's (bucket, nb)
+    entries onto every base bucket generation — the affected-file hit set
+    for the OLD scope, derived with ZERO Spark jobs. Non-nesting
+    generation pairs fall back to "every bucket of that generation"
+    (a superset is safe: an extra affected file's keys retract and re-add
+    identical contributions, cancelling exactly)."""
+    hits: set = set()
+    for f in delta_files:
+        b, nbd = f.get("bucket"), f.get("nb")
+        if b is None or not nbd:
+            continue
+        for g in base_gens:
+            if g <= nbd and nbd % g == 0:
+                hits.add((g, b % g))
+            elif g > nbd and g % nbd == 0:
+                hits.update((g, b + k * nbd) for k in range(g // nbd))
+            else:  # non-nesting pair: conservative full generation
+                hits.update((g, bb) for bb in range(g))
+    return hits
 
 
 def maintain_on_lake_merge(
@@ -165,27 +213,81 @@ def maintain_on_lake_merge(
     """MERGE a batch into the lake AND return the maintained aggregate:
     old contributions are captured from the pre-merge manifest, the
     merge commits, new contributions come from the post-merge state of
-    the same keys — both via affected-bucket reads only.
+    the same keys — affected-bucket reads only.
 
-    The old-scope read is forced (tiny: changed keys x thin agg columns)
-    BEFORE the merge commits, because a CoW merge rewrites the affected
-    files the old scope reads from.
+    Job shape (VERDICT r4 next #5 — the r4 path paid an eager pre-merge
+    checkpoint + two aggregate jobs + AQE stage-jobs, ~3.3s of fixed cost
+    at the 8M probe; measured 13 jobs at the 2M probe):
+
+    - the versioned lake never deletes a superseded data file at merge
+      time (time travel / rollback depend on old versions), so the OLD
+      scope reads lazily from the pre-merge manifest AFTER the commit;
+    - MoR: the affected-file hit set is derived from the delta commit's
+      own (bucket, nb) manifest entries — pure driver arithmetic, no
+      discovery job (``_delta_hit_set``); the delta files contain exactly
+      the batch's LWW winners, so no row-level semi-join is needed either
+      — unchanged keys inside an affected bucket retract and re-add
+      identical contributions, cancelling exactly (decimal-exact algebra);
+    - new state of the scope is ``lww(resolved_old ∪ delta)`` — LWW
+      winner selection is associative — with the old slice read ONCE
+      behind a lazy localCheckpoint barrier (no cross-branch CSE in
+      Catalyst);
+    - retract + add + previous aggregate fuse into one sign-tagged union
+      and a single groupBy (``apply_delta``), materialized by an EAGER
+      localCheckpoint inside an AQE-off window (fixed-shape plan; AQE
+      only adds per-exchange stage-jobs). The returned frame is the
+      cached |groups|-row result — consuming it launches no further jobs
+      and nothing depends on pre-merge files staying on disk.
     """
-    m_before = lake.manifest()
-    if m_before is not None and m_before.files:
-        old_scoped = lake_scoped_state(lake, m_before, batch_events)
-        old_contrib = group_contributions(
-            old_scoped, group_col, sum_cols, negate=True
-        ).localCheckpoint(eager=True)
-    else:
-        old_contrib = None
-    m_after = lake.merge(batch_events, batch_id=batch_id, mor=mor)
-    new_scoped = lake_scoped_state(lake, m_after, batch_events)
-    pos = group_contributions(new_scoped, group_col, sum_cols)
-    merged = prev_agg.unionByName(pos)
-    if old_contrib is not None:
-        merged = merged.unionByName(old_contrib)
-    aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
-        F.sum(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}") for c in sum_cols
-    ]
-    return merged.groupBy("grp").agg(*aggs).filter(F.col("n_rows") > 0)
+    spark = lake.spark
+    conf = spark.conf
+    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        m_before = lake.manifest()
+        m_after = lake.merge(batch_events, batch_id=batch_id, mor=mor)
+        if m_before is None or not m_before.files:
+            old_scoped = _live(spark.createDataFrame([], m_after.schema()))
+            new_scoped = lake_scoped_state(lake, m_after, batch_events)
+            plan = apply_delta(prev_agg, old_scoped, new_scoped, group_col, sum_cols)
+        elif mor:
+            from pyorchdb_spark.operators.dedup import lww_dedup
+
+            prev_paths = {f["path"] for f in m_before.files}
+            delta_files = [f for f in m_after.files if f["path"] not in prev_paths]
+            base_gens = sorted(
+                {f["nb"] for f in m_before.files if f.get("bucket") is not None and f.get("nb")}
+            )
+            hits = _delta_hit_set(delta_files, base_gens)
+            affected = [
+                f
+                for f in m_before.files
+                if f.get("bucket") is None  # foreign files: conservative
+                or (f["nb"], f["bucket"]) in hits
+            ]
+            if affected:
+                resolved_old = spark.read.schema(m_before.schema()).parquet(
+                    *[os.path.join(lake.root, f["path"]) for f in affected]
+                )
+                if any(f.get("delta") for f in affected):
+                    resolved_old = lww_dedup(resolved_old, keys=lake.keys)
+            else:
+                resolved_old = spark.createDataFrame([], m_before.schema())
+            resolved_old = resolved_old.localCheckpoint(eager=False)
+            delta = spark.read.schema(m_after.schema()).parquet(
+                *[os.path.join(lake.root, f["path"]) for f in delta_files]
+            )
+            new_resolved = lww_dedup(
+                resolved_old.unionByName(delta, allowMissingColumns=True), keys=lake.keys
+            )
+            plan = apply_delta(
+                prev_agg, _live(resolved_old), _live(new_resolved), group_col, sum_cols
+            )
+        else:
+            old_scoped = lake_scoped_state(lake, m_before, batch_events)
+            new_scoped = lake_scoped_state(lake, m_after, batch_events)
+            plan = apply_delta(prev_agg, old_scoped, new_scoped, group_col, sum_cols)
+        # ONE maintenance action inside the AQE-off window; |groups| rows
+        return plan.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_prev)

@@ -50,7 +50,9 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # off by default (headless sandbox); SPARK_GRAFT_UI=true enables
+        # the REST status API for shuffle-byte accounting in bench runs
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # stderr progress bars corrupt captured bench/driver output
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -138,3 +138,53 @@ def test_scd2_single_shuffle(changelog):
     hist = scd2_history(changelog, ["user_id"], "seq", ["state"])
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_lake_table_bucket_pruned_folds(spark, tmp_path):
+    """Lake-backed SCD2 (sources/scd_table.py, VERDICT r4 next #8): folds
+    read only the batch's affected key-buckets, untouched files ride the
+    manifest unchanged, and the stored history stays bit-identical to a
+    full rebuild over the concatenated log."""
+    from pyorchdb_spark.generator import change_events
+    from pyorchdb_spark.sources.scd_table import Scd2Table
+
+    ev = change_events(spark, 12_000, batch_size=4_000).cache()
+    try:
+        t = Scd2Table(
+            spark, str(tmp_path / "scd"),
+            key_cols=["repo", "path"], seq_col="seq", state_cols=["op", "lang"],
+        )
+        for b in ("b000000", "b000001", "b000002"):
+            t.apply_batch(ev.filter(F.col("batch_id") == b), batch_id=b, num_files=16)
+
+        full = scd2_history(
+            ev.select("repo", "path", "seq", "op", "lang"),
+            ["repo", "path"], "seq", ["op", "lang"],
+        )
+        cols = ["repo", "path", "valid_from_seq", "valid_to_seq", "is_current",
+                "last_seq", "op", "lang"]
+        got = t.read().select(*cols)
+        exp = full.select(*cols)
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+        # bucket pruning is real: a 1-key batch affects exactly one bucket
+        # file; every other file path carries over verbatim
+        one = ev.filter(F.col("batch_id") == "b000002").limit(1).collect()[0]
+        m_before = t.lake.manifest()
+        tiny = spark.createDataFrame(
+            [(one["repo"], one["path"], int(one["seq"]) + 10_000, "upsert", "zz")],
+            "repo string, path string, seq long, op string, lang string",
+        )
+        affected, untouched = t.lake._affected_files(m_before, tiny)
+        assert len(affected) == 1 and len(untouched) == len(m_before.files) - 1
+        t.apply_batch(tiny, batch_id="tiny")
+        m_after = t.lake.manifest()
+        carried = {f["path"] for f in m_after.files} & {f["path"] for f in m_before.files}
+        assert carried == {f["path"] for f in untouched}
+        # and the tiny fold is still rebuild-exact
+        ev2 = ev.select("repo", "path", "seq", "op", "lang").unionByName(tiny)
+        exp2 = scd2_history(ev2, ["repo", "path"], "seq", ["op", "lang"]).select(*cols)
+        got2 = t.read().select(*cols)
+        assert got2.exceptAll(exp2).isEmpty() and exp2.exceptAll(got2).isEmpty()
+    finally:
+        ev.unpersist()
