@@ -59,7 +59,8 @@ def build_zip() -> str:
     return zpath
 
 
-def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> dict:
+def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g",
+               env: dict | None = None) -> dict:
     os.makedirs(os.path.join(SCRATCH, "tmp"), exist_ok=True)
     cmd = [
         SPARK_SUBMIT,
@@ -71,7 +72,8 @@ def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g") -> di
         *args,
         "--master", master,
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    run_env = dict(os.environ, **env) if env else None
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=run_env)
     if out.returncode != 0:
         sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError(f"spark-submit failed ({master})")
@@ -150,6 +152,16 @@ CONFIGS = [
     # measured a 1.5x penalty here in round 3)
     ("auto_salt_multi", "pandas-UDF sha256, incremental 4-batch replay, --salt auto",
      ["--salt", "auto"]),
+    # thin-row LWW shuffle pruning (round 5, VERDICT r4 next #4): prune
+    # each batch to its winner tuples with a column-pruned map-combined
+    # aggregate before the fat bucket exchange, then re-join content for
+    # winners only — shuffle bytes track distinct KEYS, not events. The
+    # generator writes ~3 events/key, so the fat exchange should drop to
+    # ~1/3 the rows; --measure-bytes quantifies the byte halving.
+    ("mor_thin", "pandas-UDF sha256, incremental 4-batch MoR replay, --thin auto",
+     ["--mor", "--thin", "auto"]),
+    ("udf_multi_thin", "pandas-UDF sha256, incremental 4-batch replay, --thin auto",
+     ["--thin", "auto"]),
 ]
 
 
@@ -167,6 +179,13 @@ def main() -> None:
     p.add_argument("--content-max-reps", type=int, default=2)
     p.add_argument("--configs", default="udf_single,jvm_single,udf_multi,udf_fixed64,jvm_fixed64")
     p.add_argument("--skip-cpu-probe", action="store_true")
+    p.add_argument("--measure-bytes", action="store_true",
+                   help="byte-accounting pass: run each config ONCE at the "
+                        "high level with the Spark UI on and report shuffle "
+                        "read/write bytes per config (VERDICT r4 next #4 — "
+                        "done criterion is shuffle bytes halved by --thin). "
+                        "Separate from the throughput matrix because the UI "
+                        "listener costs a few percent.")
     p.add_argument("--write-baseline", action="store_true",
                    help="overwrite BENCH/BASELINE.md with this run's numbers "
                         "(off by default: a small smoke run must not clobber "
@@ -186,6 +205,27 @@ def main() -> None:
         )
 
     wanted = [c for c in CONFIGS if c[0] in a.configs.split(",")]
+
+    if a.measure_bytes:
+        # one UI-instrumented run per config at the high level; the replay
+        # CLI diffs the stage byte counters around the timed section
+        rows = {}
+        for key, label, flags in wanted:
+            work = os.path.join(SCRATCH, f"bytes_{key}")
+            shutil.rmtree(work, ignore_errors=True)
+            r = run_submit(
+                zpath,
+                ["replay", "--events", events_dir, "--table", work, *flags],
+                master=f"local[{a.high}]",
+                env={"SPARK_GRAFT_UI": "true"},
+            )
+            shutil.rmtree(work, ignore_errors=True)
+            rows[key] = {"label": label, "sec": r["sec"],
+                         "events_per_sec": r["events_per_sec"], **(r["bytes"] or {})}
+            print(json.dumps({"config": key, **rows[key]}), file=sys.stderr)
+        print(json.dumps({"n_events": a.n_events, "byte_accounting": rows}))
+        return
+
     results: dict[str, dict[int, dict]] = {key: {} for key, *_ in wanted}
     for key, label, flags in wanted:
         best: dict[int, dict] = {}
