@@ -131,6 +131,16 @@ def cmd_replay(args) -> dict:
     sb0 = _shuffle_totals(spark)
     t0 = time.time()
     if args.mode == "stream":
+        if args.thin == "auto":
+            # the thin crossover is a PER-MICRO-BATCH dup ratio; a one-shot
+            # whole-log probe overestimates it (r5 byte table: log ratio ~3
+            # vs per-batch ~1.4), so auto would be a silent lie here —
+            # demand an explicit choice rather than coerce one
+            raise SystemExit(
+                "--thin auto is batch-only (the chooser probes the whole "
+                "input, but thin's crossover is the per-micro-batch dup "
+                "ratio); pass --thin thin or --thin off for --mode stream"
+            )
         ckpt = args.checkpoint or os.path.join(args.table, "_checkpoint")
         run_tail_to_completion(
             spark, args.events, lake, ledger, ckpt, salted=args.salted,
@@ -284,9 +294,13 @@ def _verify_roundtrips(spark, lake, args) -> dict:
     res["rollback_restores_target"] = sig(lake.snapshot()) == sig_target
     guard_raised = False
     if m0.head_seq is not None:
+        # only the horizon guard's own ValueError counts as the gate
+        # firing — any other failure must propagate, not report green
         try:
             lake.changes_since(int(m0.head_seq) + 1).count()
-        except Exception:
+        except ValueError as e:
+            if "resync" not in str(e):
+                raise
             guard_raised = True
     res["rollback_horizon_guard_raised"] = guard_raised
     lake.rollback(m0.version)

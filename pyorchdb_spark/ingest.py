@@ -559,6 +559,10 @@ def replay(
     redundant (the thin aggregate partial-combines map-side, so hot keys
     never concentrate an exchange partition) and is forced off.
     """
+    if thin_shuffle is True:
+        salted = False  # redundant under thin pruning (see docstring) —
+        # decided BEFORE any salted="auto" probe so the answer it would
+        # discard is never paid for (one sampled Spark job per replay)
     if salted == "auto" or thin_shuffle == "auto":
         from pyorchdb_spark.operators.dedup import choose_salt_strategy, choose_strategies
 
@@ -569,7 +573,7 @@ def replay(
         else:
             salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
     if thin_shuffle is True:
-        salted = False  # redundant under thin pruning (see docstring)
+        salted = False
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
     prev_rows: int | None = None

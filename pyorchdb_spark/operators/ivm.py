@@ -153,18 +153,18 @@ def ivm_step(
     return new_state, agg
 
 
-def lake_scoped_state(lake, manifest, batch_events: DataFrame, live: bool = True) -> DataFrame:
-    """State of the batch's keys at ``manifest``, reading ONLY the
+def lake_scoped_state(lake, manifest, batch_events: DataFrame) -> DataFrame:
+    """Live state of the batch's keys at ``manifest``, reading ONLY the
     affected bucket files (the same manifest arithmetic MERGE uses) —
     the O(batch) read that keeps lake-backed maintenance off the table
     scan path. MoR deltas in the affected set resolve LWW as in
-    ``snapshot``. ``live=False`` keeps resolved tombstone winners in the
-    output (needed when the caller folds a delta on top: the tombstone
-    must participate in the next LWW round)."""
+    ``snapshot``. (The MoR branch of ``maintain_on_lake_merge`` needs
+    tombstone winners kept for its second LWW round and derives its scope
+    from the delta manifest instead, so it reads inline rather than
+    through here.)"""
     affected, _ = lake._affected_files(manifest, batch_events)
     if not affected:
-        empty = lake.spark.createDataFrame([], manifest.schema())
-        return _live(empty) if live else empty
+        return _live(lake.spark.createDataFrame([], manifest.schema()))
     paths = [os.path.join(lake.root, f["path"]) for f in affected]
     df = lake.spark.read.schema(manifest.schema()).parquet(*paths)
     # semi-join BEFORE any MoR LWW resolution (same order as
@@ -176,7 +176,7 @@ def lake_scoped_state(lake, manifest, batch_events: DataFrame, live: bool = True
         from pyorchdb_spark.operators.dedup import lww_dedup
 
         df = lww_dedup(df, keys=lake.keys)
-    return _live(df) if live else df
+    return _live(df)
 
 
 def _delta_hit_set(delta_files: list, base_gens: list) -> set:
@@ -190,6 +190,11 @@ def _delta_hit_set(delta_files: list, base_gens: list) -> set:
     for f in delta_files:
         b, nbd = f.get("bucket"), f.get("nb")
         if b is None or not nbd:
+            # delta file without bucket identity: conservatively hit every
+            # base bucket (same correctness-first rule as
+            # LakeTable._affected_files for foreign/imported files)
+            for g in base_gens:
+                hits.update((g, bb) for bb in range(g))
             continue
         for g in base_gens:
             if g <= nbd and nbd % g == 0:
@@ -262,7 +267,10 @@ def maintain_on_lake_merge(
             affected = [
                 f
                 for f in m_before.files
-                if f.get("bucket") is None  # foreign files: conservative
+                # files lacking full bucket identity (foreign/imported, or
+                # bucket without nb) are conservative — never "untouched"
+                if f.get("bucket") is None
+                or not f.get("nb")
                 or (f["nb"], f["bucket"]) in hits
             ]
             if affected:

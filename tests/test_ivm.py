@@ -141,3 +141,37 @@ def test_lake_backed_maintenance(spark, tmp_path):
         }, f"mor={mor}"
         got = {r["grp"]: r["n_rows"] for r in agg.collect()}
         assert got == {"py": 2, "go": 1}  # rs deleted away
+
+
+def test_delta_hit_set_conservative_on_missing_bucket_identity():
+    """A delta manifest entry lacking bucket identity must hit EVERY base
+    bucket (correctness-first, same rule as LakeTable._affected_files) —
+    and a base file lacking identity must never be classed untouched."""
+    from pyorchdb_spark.operators.ivm import _delta_hit_set
+
+    # normal nesting arithmetic still exact
+    hits = _delta_hit_set([{"bucket": 3, "nb": 8}], [8])
+    assert hits == {(8, 3)}
+    # bucket-less delta file: all buckets of every generation
+    assert _delta_hit_set([{"path": "foreign.parquet"}], [2, 4]) == {
+        (2, 0), (2, 1), (4, 0), (4, 1), (4, 2), (4, 3),
+    }
+    # bucket present but nb missing/falsy: same conservative fallback
+    assert _delta_hit_set([{"bucket": 1, "nb": None}], [2]) == {(2, 0), (2, 1)}
+
+
+def test_substrate_highwater_sidecar(tmp_path, monkeypatch):
+    """bench.py's noise gate reads the committed high-water sidecar and
+    raises it monotonically (BENCH_r*.json never carry the probes)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "_HIGHWATER_PATH", str(tmp_path / "hw.json"))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))  # no bench_detail fallback
+    assert bench._substrate_highwater() is None
+    bench._update_substrate_highwater({"cpu_hashes_per_sec": 100}, {"cpu_hashes_per_sec": 250})
+    assert bench._substrate_highwater() == 250.0
+    bench._update_substrate_highwater({"cpu_hashes_per_sec": 200})  # never lowers
+    assert bench._substrate_highwater() == 250.0
+    assert json.load(open(tmp_path / "hw.json")) == {"cpu_hashes_per_sec": 250.0}
