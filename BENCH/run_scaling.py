@@ -178,6 +178,15 @@ def main() -> None:
     # covered by bench.py (content up to 4 KiB).
     p.add_argument("--content-max-reps", type=int, default=2)
     p.add_argument("--configs", default="udf_single,jvm_single,udf_multi,udf_fixed64,jvm_fixed64")
+    p.add_argument("--cluster", action="store_true",
+                   help="multi-JVM cluster emulation: masters become "
+                        "local-cluster[E,C,M] with SEPARATE executor JVMs "
+                        "and netty shuffle, and --low/--high are EXECUTOR "
+                        "counts — the literal 'N and 4N executors' shape of "
+                        "the north rule (BASELINE.json:north_rule), minus "
+                        "only the per-node DRAM/NVMe a real cluster adds.")
+    p.add_argument("--exec-cores", type=int, default=4)
+    p.add_argument("--exec-mem-mb", type=int, default=6144)
     p.add_argument("--skip-cpu-probe", action="store_true")
     p.add_argument("--measure-bytes", action="store_true",
                    help="byte-accounting pass: run each config ONCE at the "
@@ -191,6 +200,16 @@ def main() -> None:
                         "(off by default: a small smoke run must not clobber "
                         "the committed full-protocol evidence)")
     a = p.parse_args()
+
+    def master_for(n: int) -> str:
+        if a.cluster:
+            return f"local-cluster[{n},{a.exec_cores},{a.exec_mem_mb}]"
+        return f"local[{n}]"
+
+    def probe_procs(n: int) -> int:
+        # substrate probes measure the box at the same TOTAL core count
+        # the Spark level occupies
+        return n * a.exec_cores if a.cluster else n
 
     zpath = build_zip()
     events_dir = os.path.join(SCRATCH, f"events_{a.n_events}_r{a.content_max_reps}")
@@ -216,7 +235,7 @@ def main() -> None:
             r = run_submit(
                 zpath,
                 ["replay", "--events", events_dir, "--table", work, *flags],
-                master=f"local[{a.high}]",
+                master=master_for(a.high),
                 env={"SPARK_GRAFT_UI": "true"},
             )
             shutil.rmtree(work, ignore_errors=True)
@@ -236,7 +255,7 @@ def main() -> None:
                 r = run_submit(
                     zpath,
                     ["replay", "--events", events_dir, "--table", work, *flags],
-                    master=f"local[{cores}]",
+                    master=master_for(cores),
                 )
                 if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
                     best[cores] = r
@@ -249,9 +268,10 @@ def main() -> None:
     cpu, mem = {}, {}
     if not a.skip_cpu_probe:
         for n in (a.low, a.high):
-            cpu[n] = cpu_probe(n)
-            mem[n] = mem_probe(n)
-            print(json.dumps({"probe_procs": n, "hashes_per_sec": round(cpu[n]),
+            cpu[n] = cpu_probe(probe_procs(n))
+            mem[n] = mem_probe(probe_procs(n))
+            print(json.dumps({"probe_procs": probe_procs(n),
+                              "hashes_per_sec": round(cpu[n]),
                               "memcpy_gb_per_sec": round(mem[n], 1)}),
                   file=sys.stderr)
 
@@ -265,8 +285,8 @@ def main() -> None:
         eff = ratio / factor
         summary[key] = {
             "label": label,
-            f"events_per_sec_local[{a.low}]": lo["events_per_sec"],
-            f"events_per_sec_local[{a.high}]": hi["events_per_sec"],
+            f"events_per_sec_{master_for(a.low)}": lo["events_per_sec"],
+            f"events_per_sec_{master_for(a.high)}": hi["events_per_sec"],
             "speedup": round(ratio, 3),
             "scaling_efficiency": round(eff, 3),
         }
@@ -278,7 +298,7 @@ def main() -> None:
     mem_eff = (mem[a.high] / mem[a.low] / factor) if mem else None
     out = {
         "n_events": a.n_events,
-        "protocol": f"local[{a.low}] vs local[{a.high}]",
+        "protocol": f"{master_for(a.low)} vs {master_for(a.high)}",
         "configs": summary,
         "cpu_probe_hashes_per_sec": {str(k): round(v) for k, v in cpu.items()},
         "cpu_probe_efficiency": round(cpu_eff, 3) if cpu_eff else None,

@@ -32,6 +32,13 @@ def build_session(
     if shuffle_partitions is None:
         if master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = max(int(master[6:-1]), 4)
+        elif master.startswith("local-cluster[") and master.endswith("]"):
+            # local-cluster[nExecutors,coresPerExecutor,memMB] — the
+            # multi-JVM cluster emulation used by the N-vs-4N-executors
+            # scaling gate; width scales with TOTAL executor cores, the
+            # same rule a real cluster submit would use.
+            parts = master[len("local-cluster["):-1].split(",")
+            shuffle_partitions = max(int(parts[0]) * int(parts[1]), 4)
         else:
             shuffle_partitions = cpus
 
