@@ -166,6 +166,10 @@ def cmd_replay(args) -> dict:
         "mode": args.mode,
         "events": n_events,
         "sec": round(dt, 3),
+        # epoch-ms bounds of the timed section, so an event-log profiler
+        # can window Spark jobs to exactly the measured replay
+        "t0_ms": int(t0 * 1000),
+        "t1_ms": int((t0 + dt) * 1000),
         "events_per_sec": round(n_events / dt, 1),
         "table_rows": lake.snapshot().count(),
         "version": lake.current_version(),

@@ -40,12 +40,75 @@ property-style in tests/test_dedup.py).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_KEYS = ("repo", "path")
 DEFAULT_TIEBREAKERS = ("commit", "op")
+
+
+def murmur3_int32(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of an IntegerType value (``F.hash`` /
+    ``HashPartitioning``), reimplemented from the public algorithm
+    (Murmur3_x86_32.hashInt, seed 42). Returns the signed 32-bit result.
+
+    Needed driver-side to PRE-SOLVE partition placement: Spark's
+    ``repartition(n, col)`` assigns ``pmod(murmur3(col), n)``, so hashing
+    the n distinct ``_bucket`` ids into n partitions is balls-in-bins —
+    measured on the 16M local-cluster gate: 4 of 8 write-stage partitions
+    empty and loads of 3:2:2:1, i.e. the one-wave delta-write stage runs
+    3x longer than its mean task. ``identity_shuffle_tokens`` inverts the
+    hash instead (verified against ``F.hash`` in tests/test_dedup.py)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k1 = (v & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = k1 * c2 & 0xFFFFFFFF
+    h1 = (seed ^ k1) & 0xFFFFFFFF
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # fmix: len in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+# above this width a shuffle runs many waves per slot anyway, so
+# balls-in-bins load variance amortizes and the token array (a plan
+# literal) stops paying for itself
+IDENTITY_SHUFFLE_MAX_BUCKETS = 4096
+
+
+@lru_cache(maxsize=64)
+def identity_shuffle_tokens(n_buckets: int) -> tuple[int, ...]:
+    """token[b] = the smallest int t with pmod(murmur3(t), n) == b, so
+    that repartitioning by the token column places storage bucket b in
+    shuffle partition EXACTLY b — one bucket per task, no empties, no
+    collision skew. Coupon-collector scan, ~n*ln(n) hashes, cached."""
+    toks: list[int | None] = [None] * n_buckets
+    found, t = 0, 0
+    while found < n_buckets:
+        b = murmur3_int32(t) % n_buckets  # python % == pmod for n > 0
+        if toks[b] is None:
+            toks[b] = t
+            found += 1
+        t += 1
+    return tuple(toks)  # type: ignore[arg-type]
+
+
+def bucket_partition_token(n_buckets: int, bucket_col: str = "_bucket"):
+    """Column expr mapping ``bucket_col`` (0..n-1) to its identity-shuffle
+    token (IntegerType — Spark hashes int and long differently), or None
+    when n_buckets is over the gate and plain bucket hashing is fine."""
+    if n_buckets > IDENTITY_SHUFFLE_MAX_BUCKETS:
+        return None
+    toks = identity_shuffle_tokens(n_buckets)
+    arr = F.lit(list(toks)).cast("array<int>")
+    return F.element_at(arr, (F.col(bucket_col) + 1).cast("int"))
 
 
 def _order_struct(seq_col: str, tiebreakers: Sequence[str]):
@@ -145,24 +208,36 @@ def lww_dedup_bucketed(
 
     Equivalent to ``lww_dedup`` for any input (asserted in
     tests/test_dedup.py): same total order per key, same winner.
+
+    The exchange distributes by an identity-shuffle TOKEN of the bucket,
+    not the bucket id itself: hashing n distinct bucket ids into n
+    partitions leaves ~37% of partitions empty and piles 2-4 buckets on
+    others (measured 3x write-stage stretch at the one-wave 16M
+    local-cluster gate), while the token places bucket b exactly in
+    partition b. The window partitions by the same token (bijective with
+    the bucket), so no second exchange is introduced.
     """
     from functools import reduce
     from operator import or_
 
     tiebreakers = [c for c in tiebreakers if c in events.columns]
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
-    w = Window.partitionBy(bucket_col).orderBy(
+    token = bucket_partition_token(n_buckets, bucket_col)
+    part_col = bucket_col if token is None else "_ibp"
+    w = Window.partitionBy(part_col).orderBy(
         *[F.col(k).asc() for k in keys], *_order_cols(seq_col, tiebreakers)
     )
     new_key = reduce(
         or_, [~F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys]
     )
+    out = events.withColumn(bucket_col, bucket)
+    if token is not None:
+        out = out.withColumn(part_col, token)
     return (
-        events.withColumn(bucket_col, bucket)
-        .repartition(n_buckets, F.col(bucket_col))
+        out.repartition(n_buckets, F.col(part_col))
         .withColumn("_win", new_key)
         .filter(F.col("_win"))
-        .drop("_win")
+        .drop("_win", *([part_col] if token is not None else []))
     )
 
 

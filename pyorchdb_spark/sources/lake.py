@@ -449,12 +449,23 @@ class LakeTable:
         out_rel = f"data/commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, out_rel)
         if not pre_bucketed:
+            from pyorchdb_spark.operators.dedup import bucket_partition_token
+
             key = composite_key(self.keys)
-            df = (
-                df.withColumn("_bucket", bucket_expr(self.keys, n_buckets))
-                .repartition(n_buckets, F.col("_bucket"))
-                .sortWithinPartitions(key)
-            )
+            df = df.withColumn("_bucket", bucket_expr(self.keys, n_buckets))
+            # identity-shuffle token: hashing n bucket ids into n
+            # partitions is balls-in-bins (empty tasks + 2-4x loaded
+            # ones); the token places bucket b exactly in partition b
+            token = bucket_partition_token(n_buckets)
+            if token is not None:
+                df = (
+                    df.withColumn("_ibp", token)
+                    .repartition(n_buckets, F.col("_ibp"))
+                    .sortWithinPartitions(key)
+                    .drop("_ibp")
+                )
+            else:
+                df = df.repartition(n_buckets, F.col("_bucket")).sortWithinPartitions(key)
         df.write.partitionBy("_bucket").mode("error").parquet(out_dir)
         import pyarrow.parquet as pq
 

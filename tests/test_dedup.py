@@ -239,3 +239,56 @@ def test_replay_thin_shuffle_matches_plain_state(spark, tmp_path):
         assert thin, "auto probe should enable thin on a dup-heavy feed"
     finally:
         ev.unpersist()
+
+
+def test_murmur3_int32_matches_spark_hash(spark):
+    """The driver-side murmur3 reimplementation must equal F.hash on
+    IntegerType for the identity-shuffle tokens to place buckets."""
+    from pyorchdb_spark.operators.dedup import murmur3_int32
+
+    vals = [0, 1, 2, 7, 42, 255, 4095, 65536, 2**31 - 1, -1, -42, -2**31]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["v"]: r["h"] for r in df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert murmur3_int32(v) == got[v], v
+
+
+def test_identity_shuffle_tokens_invert_partitioning():
+    from pyorchdb_spark.operators.dedup import identity_shuffle_tokens, murmur3_int32
+
+    for nb in (1, 2, 8, 64, 512):
+        toks = identity_shuffle_tokens(nb)
+        assert len(set(toks)) == nb
+        for b, t in enumerate(toks):
+            assert murmur3_int32(t) % nb == b
+
+
+def test_bucket_lands_in_its_own_partition(spark):
+    """repartition by the token column = identity placement: every row's
+    shuffle partition id equals its storage bucket (no empties, no
+    balls-in-bins collision skew on the one-wave write stage)."""
+    from pyorchdb_spark.operators.dedup import bucket_partition_token
+
+    for nb in (4, 8, 32):
+        df = spark.range(10_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(nb)).alias("_bucket")
+        )
+        tok = bucket_partition_token(nb)
+        out = (
+            df.withColumn("_ibp", tok)
+            .repartition(nb, F.col("_ibp"))
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        bad = out.filter(F.col("_pid") != F.col("_bucket")).count()
+        assert bad == 0, f"nb={nb}: {bad} rows off their identity partition"
+
+
+def test_bucketed_dedup_unchanged_by_identity_shuffle(spark):
+    """lww_dedup_bucketed (now token-partitioned) still equals lww_dedup."""
+    from pyorchdb_spark.operators.dedup import lww_dedup_bucketed
+
+    ev = change_events(spark, 3_000)
+    a = lww_dedup(ev).select("repo", "path", "seq", "commit", "op")
+    for nb in (4, 16):
+        b = lww_dedup_bucketed(ev, nb).select("repo", "path", "seq", "commit", "op")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
