@@ -101,6 +101,38 @@ def _shuffle_totals(spark) -> dict | None:
         return None
 
 
+def _size_scan_splits(spark, events_dir: str) -> None:
+    """Clamp the parquet split size so each PER-BATCH scan stage runs
+    ~3 tasks per slot. With the fixed 128 MiB default, a gate-scale batch
+    makes the scan+hash map stage exactly one wave wide, and a one-wave
+    stage's wall is its SLOWEST task — profiled at the 16M
+    local-cluster[4,2] gate as 8 tasks of 5.6-12.9s and the engine-side
+    scaling loss (BENCH/r5c/profile_serial.out). Sized from the events
+    log's per-batch bytes (the unit replay scans at a time). On a real
+    100 TB input per_batch/(3*slots) >> 128 MiB and the default cap
+    binds — the rule only engages when the input is small relative to
+    the cluster. Local paths only; a cluster submit would derive the same
+    numbers from the FileSystem API."""
+    try:
+        total, batches = 0, 0
+        for entry in os.scandir(events_dir):
+            if entry.is_dir() and entry.name.startswith("batch_id="):
+                batches += 1
+                for dp, _, fs in os.walk(entry.path):
+                    total += sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+    except OSError:
+        return
+    if not total or not batches:
+        return
+    slots = spark.sparkContext.defaultParallelism
+    mpb = max(16 << 20, min(128 << 20, total // batches // (3 * slots)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+
+
 def cmd_replay(args) -> dict:
     from pyorchdb_spark.ingest import replay
     from pyorchdb_spark.sources.catalog import BatchLedger
@@ -108,6 +140,7 @@ def cmd_replay(args) -> dict:
     from pyorchdb_spark.streaming.tail import run_tail_to_completion
 
     spark = _spark(args.master, args.shuffle_partitions)
+    _size_scan_splits(spark, args.events)
     events = spark.read.parquet(args.events)
     if args.coalesce_batches:
         # one logical batch: the throughput-measurement shape (single

@@ -408,7 +408,8 @@ class LakeTable:
     # ---------- write path ----------
 
     def _write_data_files(
-        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False
+        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False,
+        sub_splits: int = 1,
     ) -> list[dict]:
         """Write rows hash-bucketed by key, sorted by key within each file.
 
@@ -426,7 +427,9 @@ class LakeTable:
         oversized bucket is re-read (that file only) and rewritten as two
         buckets at generation 2*nb.
         """
-        out = self._write_bucketed(df, version, n_buckets, pre_bucketed=pre_bucketed)
+        out = self._write_bucketed(
+            df, version, n_buckets, pre_bucketed=pre_bucketed, sub_splits=sub_splits
+        )
         # data-file schema: the _bucket partition column is encoded in dir
         # names, never in file contents
         data_schema = StructType([f for f in df.schema.fields if f.name != "_bucket"])
@@ -444,28 +447,43 @@ class LakeTable:
                 os.unlink(os.path.join(self.root, big["path"]))
 
     def _write_bucketed(
-        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False
+        self, df: DataFrame, version: int, n_buckets: int, pre_bucketed: bool = False,
+        sub_splits: int = 1,
     ) -> list[dict]:
         out_rel = f"data/commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, out_rel)
         if not pre_bucketed:
-            from pyorchdb_spark.operators.dedup import bucket_partition_token
+            from pyorchdb_spark.operators.dedup import (
+                bucket_partition_token,
+                subsplit_index,
+            )
 
             key = composite_key(self.keys)
             df = df.withColumn("_bucket", bucket_expr(self.keys, n_buckets))
             # identity-shuffle token: hashing n bucket ids into n
             # partitions is balls-in-bins (empty tasks + 2-4x loaded
-            # ones); the token places bucket b exactly in partition b
-            token = bucket_partition_token(n_buckets)
+            # ones); the token places bucket b exactly in partition b.
+            # sub_splits > 1 widens the write to n_buckets * s partitions
+            # on a key-hash sub-split (s disjoint-key files per bucket) so
+            # a narrow table still fills every cluster slot.
+            s = max(1, int(sub_splits))
+            if s > 1:
+                df = df.withColumn("_pidx", subsplit_index(self.keys, s))
+                idx_col, n_parts = "_pidx", n_buckets * s
+            else:
+                idx_col, n_parts = "_bucket", n_buckets
+            token = bucket_partition_token(n_parts, idx_col)
             if token is not None:
                 df = (
                     df.withColumn("_ibp", token)
-                    .repartition(n_buckets, F.col("_ibp"))
+                    .repartition(n_parts, F.col("_ibp"))
                     .sortWithinPartitions(key)
                     .drop("_ibp")
                 )
             else:
-                df = df.repartition(n_buckets, F.col("_bucket")).sortWithinPartitions(key)
+                df = df.repartition(n_parts, F.col(idx_col)).sortWithinPartitions(key)
+            if s > 1:
+                df = df.drop("_pidx")
         df.write.partitionBy("_bucket").mode("error").parquet(out_dir)
         import pyarrow.parquet as pq
 
@@ -619,6 +637,23 @@ class LakeTable:
             return min(65536, max(sized, floor))
         return floor
 
+    def _sub_splits(self, n_buckets: int, rows_hint: int | None) -> int:
+        """Key-hash sub-splits per bucket for the merge-write exchange
+        (operators/dedup.subsplit_index): widen a write whose bucket count
+        is below ~2x the cluster's slots so the one-wave merge/write stage
+        fills every slot — profiled at the 16M local-cluster[4,2] gate as
+        the dominant engine-side scaling loss (slot utilization 0.845 vs
+        0.98 at 1 executor, BENCH/r5c/profile_serial.out). Gated on batch
+        volume so micro-batches don't pay extra task launches: never split
+        below ~64k rows per write task, never beyond 64x."""
+        par = self.spark.sparkContext.defaultParallelism
+        target = 2 * par
+        if n_buckets >= target or not rows_hint:
+            return 1
+        s_par = -(-target // n_buckets)  # ceil
+        s_rows = rows_hint // (n_buckets * 65536)
+        return int(max(1, min(s_par, s_rows, 64)))
+
     def merge(
         self,
         source_events: DataFrame,
@@ -698,7 +733,10 @@ class LakeTable:
         unioned = unioned.select(*[F.col(f.name) for f in new_schema.fields])
         if salted:
             unioned = lww_salt_prestage(unioned, keys=self.keys, n_salts=n_salts)
-        merged = lww_dedup_bucketed(unioned, n_buckets, keys=self.keys)
+        merged = lww_dedup_bucketed(
+            unioned, n_buckets, keys=self.keys,
+            sub_splits=self._sub_splits(n_buckets, rows_hint),
+        )
         new_files = self._write_data_files(merged, version, n_buckets, pre_bucketed=True)
         manifest = Manifest(
             version=version,
@@ -764,7 +802,10 @@ class LakeTable:
         )
         if salted:
             batch = lww_salt_prestage(batch, keys=self.keys, n_salts=n_salts)
-        merged = lww_dedup_bucketed(batch, nb_delta, keys=self.keys)
+        merged = lww_dedup_bucketed(
+            batch, nb_delta, keys=self.keys,
+            sub_splits=self._sub_splits(nb_delta, rows_hint),
+        )
         new_files = self._write_data_files(merged, version, nb_delta, pre_bucketed=True)
         for f in new_files:
             f["delta"] = True
@@ -802,7 +843,9 @@ class LakeTable:
             n_buckets = m.n_buckets
         else:
             n_buckets = self._initial_buckets(num_files, rows_hint)
-        new_files = self._write_data_files(df, version, n_buckets)
+        new_files = self._write_data_files(
+            df, version, n_buckets, sub_splits=self._sub_splits(n_buckets, rows_hint)
+        )
         manifest = Manifest(
             version=version,
             parent=m.version if m else None,

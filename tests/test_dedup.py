@@ -292,3 +292,94 @@ def test_bucketed_dedup_unchanged_by_identity_shuffle(spark):
     for nb in (4, 16):
         b = lww_dedup_bucketed(ev, nb).select("repo", "path", "seq", "commit", "op")
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_subsplit_dedup_equals_window(spark):
+    """sub_splits widens the fused exchange to n_buckets*s key-hash
+    partitions (write parallelism decoupled from the storage layout);
+    winners and the bucket column must be unchanged for any (nb, s)."""
+    from pyorchdb_spark.operators.dedup import lww_dedup_bucketed
+
+    ev = change_events(spark, 3_000)
+    win = lww_dedup(ev).select("repo", "path", "seq", "commit", "op")
+    for nb, s in ((1, 8), (4, 2), (4, 7), (8, 4)):
+        out = lww_dedup_bucketed(ev, nb, sub_splits=s)
+        assert "_bucket" in out.columns and "_pidx" not in out.columns
+        got = out.select("repo", "path", "seq", "commit", "op")
+        assert win.exceptAll(got).isEmpty() and got.exceptAll(win).isEmpty()
+        bad = out.withColumn(
+            "_chk", F.pmod(F.xxhash64("repo", "path"), F.lit(nb))
+        ).filter("_chk <> _bucket")
+        assert bad.isEmpty()
+
+
+def test_subsplit_identity_placement(spark):
+    """With sub_splits=s every row lands in partition bucket*s + sub —
+    the identity token covers the combined index, so the widened one-wave
+    write stage still has no balls-in-bins skew and no empty tasks."""
+    from pyorchdb_spark.operators.dedup import lww_dedup_bucketed
+
+    nb, s = 4, 3
+    out = lww_dedup_bucketed(change_events(spark, 2_000), nb, sub_splits=s).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    chk = out.withColumn(
+        "_sub", F.pmod(F.xxhash64(F.lit("_sub"), "repo", "path"), F.lit(s))
+    ).filter(F.col("_pid") != F.col("_bucket") * s + F.col("_sub"))
+    assert chk.isEmpty()
+
+
+def test_merge_subsplit_state_and_layout(spark, tmp_path):
+    """A merge forced to sub-split (both CoW and MoR paths) writes
+    multiple disjoint-key, key-sorted files per bucket and reaches the
+    same final state as the unsplit merge."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    ev = change_events(spark, 8_000, batch_size=4_000)
+    b0 = ev.filter("batch_id = 'b000000'")
+    b1 = ev.filter("batch_id = 'b000001'")
+
+    def build(root: str, forced_s: int | None) -> LakeTable:
+        lake = LakeTable(spark, root)
+        if forced_s is not None:
+            lake._sub_splits = lambda nb, rows_hint: forced_s
+        lake.merge(b0, batch_id="b0")
+        lake.merge(b1, batch_id="b1", mor=True)
+        return lake
+
+    plain = build(str(tmp_path / "plain"), None)
+    split = build(str(tmp_path / "split"), 3)
+
+    sig = lambda lk: {  # noqa: E731
+        (r["repo"], r["path"], r["seq"], r["content"]) for r in lk.snapshot().collect()
+    }
+    assert sig(plain) == sig(split)
+
+    m = split.manifest()
+    per_bucket = Counter((f["nb"], f["bucket"]) for f in m.files)
+    assert max(per_bucket.values()) > 1, "no bucket gained a sub-split file"
+    for f in m.files:
+        t = pq.read_table(
+            os.path.join(split.root, f["path"]), columns=["repo", "path"]
+        )
+        keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+        assert keys == sorted(keys), f"file {f['path']} not key-sorted"
+
+
+def test_sub_splits_sizing(spark, tmp_path):
+    """Sizing rule: wide tables never split; no volume hint or micro-batch
+    volume stays narrow (task-launch overhead would dominate); otherwise
+    ceil(2*parallelism / n_buckets) capped at 64."""
+    from pyorchdb_spark.sources.lake import LakeTable
+
+    lake = LakeTable(spark, str(tmp_path / "t"))
+    par = lake.spark.sparkContext.defaultParallelism
+    assert lake._sub_splits(2 * par, 10**9) == 1
+    assert lake._sub_splits(8, None) == 1
+    assert lake._sub_splits(8, 8 * 65536 - 1) == 1
+    assert lake._sub_splits(8, 10**9) == min(-(-2 * par // 8), 64)
