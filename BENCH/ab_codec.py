@@ -53,8 +53,13 @@ def build_zip() -> str:
 def replay(zpath: str, events: str, master: str, codec: str, tag: str) -> dict:
     work = os.path.join(SCRATCH, f"abc_{tag}")
     shutil.rmtree(work, ignore_errors=True)
+    exec_conf = []
+    if master.startswith("local-cluster["):
+        m_mb = master.rstrip("]").split(",")[-1]
+        exec_conf = ["--conf", f"spark.executor.memory={m_mb}m"]
     cmd = [
         SPARK_SUBMIT, "--master", master, "--driver-memory", "24g",
+        *exec_conf,
         "--conf", f"spark.local.dir={os.path.join(SCRATCH, 'tmp')}",
         "--conf", f"spark.io.compression.codec={codec}",
         "--py-files", zpath, os.path.join(REPO, "jobs", "ingest.py"),

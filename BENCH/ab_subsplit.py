@@ -48,8 +48,13 @@ def build_zip_from(tree: str, name: str) -> str:
 def replay(zpath: str, job: str, events: str, master: str, tag: str) -> dict:
     work = os.path.join(SCRATCH, f"ab_{tag}")
     shutil.rmtree(work, ignore_errors=True)
+    exec_conf = []
+    if master.startswith("local-cluster["):
+        m_mb = master.rstrip("]").split(",")[-1]
+        exec_conf = ["--conf", f"spark.executor.memory={m_mb}m"]
     cmd = [
         SPARK_SUBMIT, "--master", master, "--driver-memory", "24g",
+        *exec_conf,
         "--conf", f"spark.local.dir={os.path.join(SCRATCH, 'tmp')}",
         "--py-files", zpath, job,
         "replay", "--events", events, "--table", work, "--mor",

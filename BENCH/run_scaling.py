@@ -62,10 +62,20 @@ def build_zip() -> str:
 def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g",
                env: dict | None = None) -> dict:
     os.makedirs(os.path.join(SCRATCH, "tmp"), exist_ok=True)
+    # local-cluster[E,C,M]: M is only the WORKER's capacity — executors
+    # still get spark.executor.memory's 1g default unless told otherwise
+    # (found the hard way: BENCH/r5c/cluster_1v4_thin.log, a winner
+    # broadcast OOM'd "6144 MB" executors that were really 1g). Make the
+    # executor heap match what the protocol string claims.
+    exec_conf = []
+    if master.startswith("local-cluster["):
+        m_mb = master.rstrip("]").split(",")[-1]
+        exec_conf = ["--conf", f"spark.executor.memory={m_mb}m"]
     cmd = [
         SPARK_SUBMIT,
         "--master", master,
         "--driver-memory", mem,
+        *exec_conf,
         "--conf", f"spark.local.dir={os.path.join(SCRATCH, 'tmp')}",
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "ingest.py"),

@@ -342,6 +342,34 @@ def prune_to_winners(
     return events.join(F.broadcast(wren), cond, "left_semi")
 
 
+def _parse_jvm_mem(s: str) -> int:
+    """JVM memory-string to bytes; a bare number is MiB (Spark's
+    ``byteStringAsMb`` convention for ``spark.executor.memory``)."""
+    s = s.strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s)) * 1024**2
+
+
+def executor_heap_bytes(spark) -> int:
+    """Best-effort executor JVM heap for sizing broadcast budgets.
+
+    ``spark.executor.memory`` when set; otherwise Spark's 1g executor
+    default for any real-cluster master (incl. ``local-cluster``), and
+    the driver heap for ``local[*]`` where executors share the driver
+    JVM. Measured consequence of guessing wrong: BENCH/r5c/
+    cluster_1v4_thin.log — a ~100 MB winner broadcast OOM'd defaulted
+    1g executors that the protocol string claimed were 6 GiB."""
+    em = spark.conf.get("spark.executor.memory", None)
+    if em:
+        return _parse_jvm_mem(em)
+    master = spark.conf.get("spark.master", "") or ""
+    if master.startswith("local") and not master.startswith("local-cluster"):
+        return _parse_jvm_mem(spark.conf.get("spark.driver.memory", None) or "1g")
+    return 1024**3
+
+
 def choose_salt_strategy(
     events: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
@@ -394,6 +422,7 @@ def choose_strategies(
     min_hot_rows: int = 20,
     max_salts: int = 64,
     thin_dup_ratio: float = 2.0,
+    thin_max_broadcast_bytes: float | None = None,
 ) -> tuple[bool, int, bool]:
     """``choose_salt_strategy`` plus a thin-shuffle decision: returns
     ``(salted, n_salts, thin_shuffle)``.
@@ -410,7 +439,22 @@ def choose_strategies(
     rows than keys — default crossover at ratio >= ``thin_dup_ratio``.
     When thin pruning is on, salting is redundant (the thin aggregate
     partial-combines map-side, so hot keys never concentrate an
-    exchange partition), so thin forces plain LWW downstream."""
+    exchange partition), so thin forces plain LWW downstream.
+
+    ``thin_max_broadcast_bytes``: budget for ``prune_to_winners``' winner
+    broadcast, estimated as HLL-distinct-keys x avg key width from the
+    same probe job. Default (None) is executor_heap/16 — calibrated by
+    measurement, not theory: a ~110 MB (raw) winner set built a hash
+    relation that OOM'd a 1 GiB executor (BENCH/r5c/cluster_1v4_thin.log)
+    while the same set is invisible on a 24 GiB heap (the committed
+    shuffle-byte table ran there); relation inflation plus two task
+    slots' Arrow/shuffle working set leaves ~1/16 of heap a safe raw
+    bound. Over budget, thin falls back to the fat-exchange path and the
+    salt decision proceeds as if thin were unavailable — this is the
+    100-TB guard: a full-sync batch's winner set scales with |distinct
+    keys| and can NEVER be broadcast at that point, while a
+    bucket-co-partitioned semi-join would re-shuffle the fat rows and
+    erase thin's entire benefit, so falling back is strictly better."""
     spark = events.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sampled = events.select(*keys, seq_col).filter(
@@ -431,10 +475,26 @@ def choose_strategies(
             F.approx_count_distinct(
                 F.xxhash64(*[F.col(k) for k in keys]), 0.02
             ).alias("K"),
+            F.avg(
+                F.octet_length(
+                    F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+                )
+            ).alias("W"),
         ).collect()[0]
         total = int(g["N"] or 0)
         kd = max(int(g["K"] or 0), 1)
         thin = bool(total >= min_sample and (total / kd) >= thin_dup_ratio)
+        if thin:
+            # broadcast-budget gate (see docstring): winners are one row
+            # per distinct key of (keys, seq, tiebreakers); 72 B covers
+            # the order columns plus per-row tuple overhead.
+            est_raw = kd * (float(g["W"] or 64.0) + 72.0)
+            budget = (
+                thin_max_broadcast_bytes
+                if thin_max_broadcast_bytes is not None
+                else executor_heap_bytes(spark) / 16
+            )
+            thin = est_raw <= budget
     if thin or n < min_sample or mx < min_hot_rows:
         return False, 16, thin
     hot_share = mx / n

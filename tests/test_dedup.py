@@ -241,6 +241,47 @@ def test_replay_thin_shuffle_matches_plain_state(spark, tmp_path):
         ev.unpersist()
 
 
+def test_thin_broadcast_budget_gate(spark):
+    """The thin decision is gated on the estimated winner-broadcast size
+    (BENCH/r5c/cluster_1v4_thin.log: an ungated ~110 MB winner set OOM'd
+    1 GiB executors): a budget below the estimate forces thin OFF and
+    the salt decision still runs; a generous budget keeps thin ON."""
+    from pyorchdb_spark.generator import change_events
+    from pyorchdb_spark.operators.dedup import choose_strategies
+
+    ev = change_events(spark, 30_000, batch_size=15_000).cache()
+    try:
+        _s, _n, thin = choose_strategies(
+            ev, keys=("repo", "path"), thin_max_broadcast_bytes=1.0
+        )
+        assert not thin, "a 1-byte budget must gate thin off"
+        salted, n, thin = choose_strategies(
+            ev, keys=("repo", "path"), thin_max_broadcast_bytes=1e12
+        )
+        assert thin, "a generous budget must keep thin on for a dup-heavy feed"
+        # gated-off thin falls through to the salt decision, not a crash:
+        s2, n2, t2 = choose_strategies(
+            ev, keys=("repo", "path"), thin_dup_ratio=float("inf")
+        )
+        assert not t2 and isinstance(s2, bool) and n2 >= 1
+    finally:
+        ev.unpersist()
+
+
+def test_executor_heap_bytes_parsing(spark):
+    """Budget heuristics resolve the right JVM heap per master type."""
+    from pyorchdb_spark.operators.dedup import _parse_jvm_mem, executor_heap_bytes
+
+    assert _parse_jvm_mem("1g") == 1024**3
+    assert _parse_jvm_mem("6144m") == 6144 * 1024**2
+    assert _parse_jvm_mem("512") == 512 * 1024**2  # bare number = MiB
+    # local[*] session: executors share the driver JVM, so the heap must
+    # come from the driver memory conf, never the 1g executor default.
+    heap = executor_heap_bytes(spark)
+    drv = spark.conf.get("spark.driver.memory", None) or "1g"
+    assert heap == _parse_jvm_mem(drv)
+
+
 def test_murmur3_int32_matches_spark_hash(spark):
     """The driver-side murmur3 reimplementation must equal F.hash on
     IntegerType for the identity-shuffle tokens to place buckets."""
