@@ -83,10 +83,21 @@ def run_submit(zpath: str, args: list[str], master: str, mem: str = "24g",
         "--master", master,
     ]
     run_env = dict(os.environ, **env) if env else None
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=run_env)
-    if out.returncode != 0:
+    # One retry per submit: the box's hypervisor-preemption freeze mode
+    # kills executors via heartbeat timeout mid-run (both thin6g matrix
+    # attempts died this way, BENCH/r5c/cluster_1v4_thin6g*.log), and a
+    # single lost sample should not abort a 30-minute matrix. Retried
+    # samples are no worse for best-of-N: a retry only happens when the
+    # first attempt produced no number at all.
+    for attempt in (1, 2):
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=run_env)
+        if out.returncode == 0:
+            break
         sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
-        raise RuntimeError(f"spark-submit failed ({master})")
+        if attempt == 2:
+            raise RuntimeError(f"spark-submit failed ({master})")
+        sys.stderr.write(f"spark-submit failed ({master}); retrying once\n")
+        time.sleep(15)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
