@@ -179,10 +179,14 @@ CONFIGS = [
     # winners only — shuffle bytes track distinct KEYS, not events. The
     # generator writes ~3 events/key, so the fat exchange should drop to
     # ~1/3 the rows; --measure-bytes quantifies the byte halving.
-    ("mor_thin", "pandas-UDF sha256, incremental 4-batch MoR replay, --thin auto",
-     ["--mor", "--thin", "auto"]),
-    ("udf_multi_thin", "pandas-UDF sha256, incremental 4-batch replay, --thin auto",
-     ["--thin", "auto"]),
+    # forced (--thin thin), not auto: the matrix measures the thin PATH;
+    # auto's width gate (thin_min_payload_bytes) correctly refuses the
+    # protocol's ~190 B content, which would make an auto config measure
+    # the plain path under a thin label.
+    ("mor_thin", "pandas-UDF sha256, incremental 4-batch MoR replay, --thin forced",
+     ["--mor", "--thin", "thin"]),
+    ("udf_multi_thin", "pandas-UDF sha256, incremental 4-batch replay, --thin forced",
+     ["--thin", "thin"]),
 ]
 
 

@@ -162,6 +162,7 @@ def cmd_replay(args) -> dict:
 
         prepare_events(events, jvm_only=args.jvm_hash).write.format("noop").mode("overwrite").save()
     sb0 = _shuffle_totals(spark)
+    strategy: dict | None = None
     t0 = time.time()
     if args.mode == "stream":
         if args.thin == "auto":
@@ -186,8 +187,10 @@ def cmd_replay(args) -> dict:
         if getattr(args, "salt", None):
             salted = {"plain": False, "salted": True, "auto": "auto"}[args.salt]
         thin: bool | str = {"off": False, "thin": True, "auto": "auto"}[args.thin]
+        strategy = {}
         replay(lake, ledger, events, salted=salted, num_files=args.num_files,
-               jvm_only_udfs=args.jvm_hash, mor=args.mor, thin_shuffle=thin)
+               jvm_only_udfs=args.jvm_hash, mor=args.mor, thin_shuffle=thin,
+               strategy_out=strategy)
     dt = time.time() - t0
     sb1 = _shuffle_totals(spark)
     shuffle = (
@@ -207,6 +210,10 @@ def cmd_replay(args) -> dict:
         "table_rows": lake.snapshot().count(),
         "version": lake.current_version(),
         "master": spark.sparkContext.master,
+        # resolved salt/thin decisions ("auto" runs are otherwise
+        # unobservable — the r5e thin matrix was ambiguous about whether
+        # thin even engaged); None in stream mode (decided per-batch)
+        "strategy": strategy,
     }
 
 

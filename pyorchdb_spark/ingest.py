@@ -528,6 +528,7 @@ def replay(
     mor_compact_factor: int = 8,
     tombstone_lag_batches: int | None = None,
     thin_shuffle: bool | str = False,
+    strategy_out: dict | None = None,
 ) -> list[ApplyResult]:
     """Batch-mode replay of a whole event log in batch_id order.
 
@@ -558,6 +559,11 @@ def replay(
     probe as ``salted="auto"`` (dup ratio >= 2); when thin wins, salting is
     redundant (the thin aggregate partial-combines map-side, so hot keys
     never concentrate an exchange partition) and is forced off.
+
+    ``strategy_out``: optional dict the resolved decisions are written
+    into (``salted``/``n_salts``/``thin``) — "auto" runs are otherwise
+    unobservable from the outside, which made the round-5e thin matrix
+    ambiguous about whether thin had even engaged.
     """
     if thin_shuffle is True:
         salted = False  # redundant under thin pruning (see docstring) —
@@ -574,6 +580,10 @@ def replay(
             salted, n_salts = choose_salt_strategy(events, keys=lake.keys)
     if thin_shuffle is True:
         salted = False
+    if strategy_out is not None:
+        strategy_out.update(
+            salted=bool(salted), n_salts=n_salts, thin=bool(thin_shuffle)
+        )
     batch_ids = [r[0] for r in events.select("batch_id").distinct().orderBy("batch_id").collect()]
     results = []
     prev_rows: int | None = None

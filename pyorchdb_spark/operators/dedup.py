@@ -423,6 +423,7 @@ def choose_strategies(
     max_salts: int = 64,
     thin_dup_ratio: float = 2.0,
     thin_max_broadcast_bytes: float | None = None,
+    thin_min_payload_bytes: float = 512.0,
 ) -> tuple[bool, int, bool]:
     """``choose_salt_strategy`` plus a thin-shuffle decision: returns
     ``(salted, n_salts, thin_shuffle)``.
@@ -454,7 +455,23 @@ def choose_strategies(
     100-TB guard: a full-sync batch's winner set scales with |distinct
     keys| and can NEVER be broadcast at that point, while a
     bucket-co-partitioned semi-join would re-shuffle the fat rows and
-    erase thin's entire benefit, so falling back is strictly better."""
+    erase thin's entire benefit, so falling back is strictly better.
+
+    ``thin_min_payload_bytes``: thin's SAVINGS are the payload bytes the
+    pruned rows would have carried through the exchange, while its COSTS
+    (the thin pass-1 scan, the aggregate, the broadcast hash-probe of
+    every row) are per-ROW and independent of payload width — so payload
+    width is the decisive multiplier, and dup ratio alone over-triggers
+    on narrow rows. Measured boundary on the 16M replay: ~190 B avg
+    content lost wall clock at every parallelism level despite a 2.49x
+    shuffle-byte cut (local[32]: BENCH/r5b/scaling2.json 240.7k vs
+    293.5k ev/s at 4N; true-6g multi-JVM executors: BENCH/r5c/
+    cluster_1v4_thin6g.json, 0.48x plain at 4 executors), while ~1 KiB
+    avg content WON outright (committed byte table: coalesced MERGE
+    245.6 s -> 197.9 s). 512 B sits between the measured lose/win
+    points. Payload width comes from the same probe job (avg octet
+    length of the non-key, non-order columns); rows with no payload
+    columns have nothing to save and never prune."""
     spark = events.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sampled = events.select(*keys, seq_col).filter(
@@ -470,6 +487,12 @@ def choose_strategies(
     mx = int(row["mx"] or 0)
     thin = False
     if thin_dup_ratio != float("inf"):
+        payload_cols = [c for c in events.columns if c not in {*keys, seq_col}]
+        payload_w = (
+            F.avg(F.octet_length(F.concat_ws(
+                "", *[F.col(c).cast("string") for c in payload_cols])))
+            if payload_cols else F.lit(0.0)
+        )
         g = events.agg(
             F.count(F.lit(1)).alias("N"),
             F.approx_count_distinct(
@@ -480,10 +503,16 @@ def choose_strategies(
                     F.concat_ws("", *[F.col(k).cast("string") for k in keys])
                 )
             ).alias("W"),
+            payload_w.alias("P"),
         ).collect()[0]
         total = int(g["N"] or 0)
         kd = max(int(g["K"] or 0), 1)
-        thin = bool(total >= min_sample and (total / kd) >= thin_dup_ratio)
+        thin = bool(
+            payload_cols  # nothing to save without payload columns
+            and total >= min_sample
+            and (total / kd) >= thin_dup_ratio
+            and float(g["P"] or 0.0) >= thin_min_payload_bytes
+        )
         if thin:
             # broadcast-budget gate (see docstring): winners are one row
             # per distinct key of (keys, seq, tiebreakers); 72 B covers

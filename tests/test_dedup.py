@@ -268,6 +268,34 @@ def test_thin_broadcast_budget_gate(spark):
         ev.unpersist()
 
 
+def test_thin_payload_width_gate(spark):
+    """Thin pruning saves payload BYTES but costs per-ROW passes, so the
+    chooser requires avg payload width >= thin_min_payload_bytes
+    (measured: ~190 B content lost wall clock at every parallelism level
+    despite a 2.49x byte cut — BENCH/r5c/cluster_1v4_thin6g.json — while
+    ~1 KiB content won outright)."""
+    from pyorchdb_spark.generator import change_events
+    from pyorchdb_spark.operators.dedup import choose_strategies
+
+    # content_max_reps=1 -> 64..128 B content, far under the 512 B default
+    ev = change_events(spark, 30_000, batch_size=15_000, content_max_reps=1).cache()
+    try:
+        _s, _n, thin = choose_strategies(ev, keys=("repo", "path"))
+        assert not thin, "narrow payload must gate thin off at default width"
+        _s, _n, thin = choose_strategies(
+            ev, keys=("repo", "path"), thin_min_payload_bytes=0.0
+        )
+        assert thin, "width override must re-enable thin on a dup-heavy feed"
+        # no payload columns at all -> nothing to save -> never thin
+        _s, _n, thin = choose_strategies(
+            ev.select("repo", "path", "seq"), keys=("repo", "path"),
+            thin_min_payload_bytes=0.0,
+        )
+        assert not thin
+    finally:
+        ev.unpersist()
+
+
 def test_executor_heap_bytes_parsing(spark):
     """Budget heuristics resolve the right JVM heap per master type."""
     from pyorchdb_spark.operators.dedup import _parse_jvm_mem, executor_heap_bytes
