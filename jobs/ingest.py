@@ -69,6 +69,9 @@ def cmd_generate(args) -> dict:
         batch_size=args.batch_size,
         evolution_batch=args.evolution_batch,
         content_max_reps=args.content_max_reps,
+        events_per_key=args.events_per_key,
+        n_repos=args.n_repos,
+        path_mod=args.path_mod,
     )
     write_events(ev, args.out)
     n = spark.read.parquet(args.out).count()
@@ -498,6 +501,12 @@ def main(argv=None) -> None:
     g.add_argument("--batch-size", type=int, default=1_000_000)
     g.add_argument("--evolution-batch", type=int, default=None)
     g.add_argument("--content-max-reps", type=int, default=16)
+    g.add_argument("--events-per-key", type=float, default=3.0)
+    g.add_argument("--n-repos", type=int, default=200)
+    g.add_argument("--path-mod", type=int, default=997,
+                   help="distinct-path image bound; default reproduces the "
+                        "~855k-key churn-axis protocol, raise for key-axis "
+                        "sweeps where |keys| tracks n_events")
     g.add_argument("--master", default=None)
 
     r = sub.add_parser("replay")

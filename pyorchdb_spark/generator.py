@@ -58,6 +58,7 @@ def change_events(
     evolution_batch: int | None = None,
     num_partitions: int | None = None,
     content_max_reps: int = 16,
+    path_mod: int = 997,
 ) -> DataFrame:
     """Build the deterministic change-event DataFrame.
 
@@ -88,7 +89,12 @@ def change_events(
     raw_path = F.concat(
         F.when(F.pmod(F.xxhash64(key_id, F.lit("noise")), F.lit(20)) == 0, F.lit("./")).otherwise(F.lit("")),
         dir1, F.lit("/"), dir2, F.lit("/mod_"),
-        F.pmod(F.xxhash64(key_id, F.lit("mod")), F.lit(997)).cast("string"),
+        # path_mod bounds the distinct-path image (|DIRS|^2 * path_mod *
+        # |EXTS| combos): at the default 997 that is ~319k paths, which is
+        # what saturates distinct (repo, path) at ~855k regardless of
+        # n_events — the CHURN-axis shape. Raising it (key-axis sweeps)
+        # scales key cardinality with the event count instead.
+        F.pmod(F.xxhash64(key_id, F.lit("mod")), F.lit(path_mod)).cast("string"),
         ext,
     )
 

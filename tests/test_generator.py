@@ -45,3 +45,32 @@ def test_generator_shape_and_pathologies(spark):
         assert dup_groups.count() == distinct_dup
     finally:
         df.unpersist()
+
+
+def test_generator_path_mod_scales_key_cardinality(spark):
+    """Key-axis knob (round 5): with the default path_mod the distinct
+    (repo, path) image is bounded by the ~319k-path space (the churn-axis
+    protocol shape), while a larger path_mod lets key cardinality track
+    n_events — and the default-parameter data is bit-identical to the
+    pre-knob generator."""
+    from pyorchdb_spark.generator import change_events
+
+    n = 300_000
+    base = change_events(spark, n, batch_size=100_000, content_max_reps=2)
+    # exercise the knob downward: path_mod=1 hard-bounds the pair image at
+    # n_repos * |DIRS|^2 * |EXTS| = 200 * 320 = 64,000 whatever n is
+    narrow = change_events(spark, n, batch_size=100_000, content_max_reps=2,
+                           path_mod=1)
+    k_base = base.select("repo", "path").distinct().count()
+    k_narrow = narrow.select("repo", "path").distinct().count()
+    # same event count either way; only the key image changes
+    assert base.count() == narrow.count()
+    # defaults are unsaturated at this n: most of the n/3 key ids survive
+    assert k_base > 0.7 * (n / 3)
+    # the narrowed image binds: strictly under its combinatorial bound,
+    # and well under what the same event count yields at the default
+    assert k_narrow <= 64_000 < k_base
+    # defaults remain the committed protocol: same rows as a second build
+    again = change_events(spark, n, batch_size=100_000, content_max_reps=2,
+                          path_mod=997)
+    assert base.exceptAll(again).isEmpty() and again.exceptAll(base).isEmpty()
