@@ -72,6 +72,7 @@ def cmd_generate(args) -> dict:
         events_per_key=args.events_per_key,
         n_repos=args.n_repos,
         path_mod=args.path_mod,
+        key_space=args.key_space,
     )
     write_events(ev, args.out)
     n = spark.read.parquet(args.out).count()
@@ -507,6 +508,12 @@ def main(argv=None) -> None:
                    help="distinct-path image bound; default reproduces the "
                         "~855k-key churn-axis protocol, raise for key-axis "
                         "sweeps where |keys| tracks n_events")
+    g.add_argument("--key-space", choices=["grid", "wide"], default="grid",
+                   help="'grid' (default) reproduces the committed protocol "
+                        "(key ids capped at ~1M by the uniform grid); 'wide' "
+                        "draws key ids at full 64-bit hash resolution so "
+                        "|keys| tracks n_events/events_per_key (key-axis "
+                        "sweep part 2)")
     g.add_argument("--master", default=None)
 
     r = sub.add_parser("replay")

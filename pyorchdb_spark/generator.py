@@ -59,6 +59,7 @@ def change_events(
     num_partitions: int | None = None,
     content_max_reps: int = 16,
     path_mod: int = 997,
+    key_space: str = "grid",
 ) -> DataFrame:
     """Build the deterministic change-event DataFrame.
 
@@ -74,7 +75,18 @@ def change_events(
 
     # Key identity: uniform over n_keys, then repo drawn Zipf-ish from the
     # key (power transform concentrates mass near repo 0 → hot repos).
-    key_id = F.floor(_u(F.col("id"), "key") * n_keys).cast("long")
+    #
+    # key_space="grid" (default, pinned bit-identical by test_generator):
+    # floor(u * n_keys) where u comes from the _M = 1,000,003-value uniform
+    # grid — so distinct key ids are capped at ~1M regardless of n_keys
+    # (the round-5g finding). key_space="wide" draws the key id with full
+    # 64-bit hash resolution, pmod n_keys, so |keys| genuinely tracks
+    # n_events / events_per_key into the 10^7-8 regime the 10^10-event
+    # target implies (key-axis sweep part 2).
+    if key_space == "wide":
+        key_id = F.pmod(F.xxhash64(F.col("id"), F.lit("key")), F.lit(n_keys)).cast("long")
+    else:
+        key_id = F.floor(_u(F.col("id"), "key") * n_keys).cast("long")
     repo_id = F.floor(
         F.pow(_u(key_id, "repo"), F.lit(zipf_exponent)) * n_repos
     ).cast("long")

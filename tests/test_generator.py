@@ -74,3 +74,35 @@ def test_generator_path_mod_scales_key_cardinality(spark):
     again = change_events(spark, n, batch_size=100_000, content_max_reps=2,
                           path_mod=997)
     assert base.exceptAll(again).isEmpty() and again.exceptAll(base).isEmpty()
+
+
+def test_generator_wide_key_space(spark):
+    """key_space='wide' (round-5g part 2): key ids drawn at full 64-bit
+    hash resolution, so the distinct-key image is no longer capped by the
+    1,000,003-value uniform grid. At small n the wide and grid images are
+    statistically similar; the test pins (a) determinism, (b) the grid cap
+    actually binding when n_keys exceeds the grid, (c) wide breaking it."""
+    from pyorchdb_spark.generator import change_events
+
+    n = 300_000
+    # events_per_key tiny -> n_keys = 30M >> grid modulus. Grid mode can
+    # only realise key ids on the ~1M-value lattice; at 300k draws over a
+    # 30M-key space, collisions differ sharply between the two modes: the
+    # grid quantizes u to 1e6 steps first (floor(u*3e7) hits ~30 ids per
+    # step, but only ~1M reachable ids), wide reaches all 30M residues.
+    kw = dict(batch_size=100_000, content_max_reps=2, path_mod=99991,
+              events_per_key=0.01)
+    grid = change_events(spark, n, **kw)
+    wide = change_events(spark, n, key_space="wide", **kw)
+    assert grid.count() == wide.count()
+    k_grid = grid.select("repo", "path").distinct().count()
+    k_wide = wide.select("repo", "path").distinct().count()
+    # wide: 300k draws over 30M ids -> ~99.5% unique expected
+    assert k_wide > 0.97 * n
+    # grid: same draws but only ~1M reachable lattice points -> birthday
+    # collisions bite (expected uniques ~= M*(1-exp(-n/M)) ~ 259k)
+    assert k_grid < 0.95 * n
+    assert k_wide > k_grid
+    # deterministic across partitioning, like the grid mode
+    wide7 = change_events(spark, n, key_space="wide", num_partitions=7, **kw)
+    assert wide.exceptAll(wide7).isEmpty() and wide7.exceptAll(wide).isEmpty()
