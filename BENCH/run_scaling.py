@@ -145,6 +145,30 @@ def mem_probe(n_procs: int, iters: int = 30) -> float:
     return gb / (time.time() - t0)
 
 
+def _stat_counters() -> tuple[int, int] | None:
+    """(steal, busy) jiffies from /proc/stat — busy = everything but idle/
+    iowait. Sampled around each matrix run: the round-5i diagnostic
+    (BENCH/r5c/diagnose_slowmode.out) proved the bimodal 4-exec samples
+    are per-task wall inflation with an unchanged plan/topology, and this
+    box's cumulative steal is ~25% of user time — hypervisor steal is the
+    mechanism, so name it per sample instead of discarding slow samples
+    blind."""
+    try:
+        f = open("/proc/stat").readline().split()
+        user, nice, system, idle, iowait, irq, softirq, steal = map(int, f[1:9])
+    except Exception:
+        return None
+    return steal, user + nice + system + irq + softirq + steal
+
+
+def steal_share(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    """Fraction of this interval's BUSY cpu time the hypervisor stole."""
+    if before is None or after is None:
+        return None
+    dsteal, dbusy = after[0] - before[0], after[1] - before[1]
+    return round(dsteal / dbusy, 4) if dbusy > 0 else None
+
+
 # ---------------------------------- matrix ----------------------------------
 
 CONFIGS = [
@@ -277,16 +301,19 @@ def main() -> None:
             for cores in (a.low, a.high):  # interleaved: noise hits both levels
                 work = os.path.join(SCRATCH, f"scale_{key}_{cores}")
                 shutil.rmtree(work, ignore_errors=True)
+                st0 = _stat_counters()
                 r = run_submit(
                     zpath,
                     ["replay", "--events", events_dir, "--table", work, *flags],
                     master=master_for(cores),
                 )
+                r["steal_share"] = steal_share(st0, _stat_counters())
                 if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
                     best[cores] = r
                 shutil.rmtree(work, ignore_errors=True)
                 print(json.dumps({"config": key, "run": run_i, "cores": cores,
-                                  "events_per_sec": r["events_per_sec"], "sec": r["sec"]}),
+                                  "events_per_sec": r["events_per_sec"], "sec": r["sec"],
+                                  "steal_share": r["steal_share"]}),
                       file=sys.stderr)
         results[key] = best
 
@@ -314,6 +341,8 @@ def main() -> None:
             f"events_per_sec_{master_for(a.high)}": hi["events_per_sec"],
             "speedup": round(ratio, 3),
             "scaling_efficiency": round(eff, 3),
+            "steal_share_best_low": lo.get("steal_share"),
+            "steal_share_best_high": hi.get("steal_share"),
         }
         lines.append(
             f"| {label} | {lo['sec']} | {lo['events_per_sec']:,} | {hi['sec']} | "
