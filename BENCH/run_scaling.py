@@ -226,6 +226,13 @@ def main() -> None:
     # cluster does not (each node brings its own). Fat-row behavior is
     # covered by bench.py (content up to 4 KiB).
     p.add_argument("--content-max-reps", type=int, default=2)
+    p.add_argument("--hot-share", type=float, default=0.0,
+                   help="generator hot-key share: this fraction of events "
+                        "collapses onto ONE (repo,path) key — ties the "
+                        "north rule's skew/salting clause to its scaling "
+                        "clause (run with --configs mor_multi,"
+                        "auto_salt_multi to compare plain vs adaptive salt "
+                        "under skew at both cluster sizes)")
     p.add_argument("--configs", default="udf_single,jvm_single,udf_multi,udf_fixed64,jvm_fixed64")
     p.add_argument("--cluster", action="store_true",
                    help="multi-JVM cluster emulation: masters become "
@@ -261,16 +268,17 @@ def main() -> None:
         return n * a.exec_cores if a.cluster else n
 
     zpath = build_zip()
-    events_dir = os.path.join(SCRATCH, f"events_{a.n_events}_r{a.content_max_reps}")
+    hot_tag = f"_h{a.hot_share:g}" if a.hot_share > 0 else ""
+    events_dir = os.path.join(
+        SCRATCH, f"events_{a.n_events}_r{a.content_max_reps}{hot_tag}")
     if not os.path.exists(os.path.join(events_dir, "_SUCCESS")):
         print(f"generating {a.n_events} events once -> {events_dir}", file=sys.stderr)
-        run_submit(
-            zpath,
-            ["generate", "--out", events_dir, "--n-events", str(a.n_events),
-             "--batch-size", str(a.n_events // 4),
-             "--content-max-reps", str(a.content_max_reps)],
-            master="local[32]",
-        )
+        gen_args = ["generate", "--out", events_dir, "--n-events", str(a.n_events),
+                    "--batch-size", str(a.n_events // 4),
+                    "--content-max-reps", str(a.content_max_reps)]
+        if a.hot_share > 0:
+            gen_args += ["--hot-share", str(a.hot_share)]
+        run_submit(zpath, gen_args, master="local[32]")
 
     wanted = [c for c in CONFIGS if c[0] in a.configs.split(",")]
 
@@ -352,6 +360,7 @@ def main() -> None:
     mem_eff = (mem[a.high] / mem[a.low] / factor) if mem else None
     out = {
         "n_events": a.n_events,
+        "hot_share": a.hot_share,
         "protocol": f"{master_for(a.low)} vs {master_for(a.high)}",
         "configs": summary,
         "cpu_probe_hashes_per_sec": {str(k): round(v) for k, v in cpu.items()},

@@ -73,6 +73,7 @@ def cmd_generate(args) -> dict:
         n_repos=args.n_repos,
         path_mod=args.path_mod,
         key_space=args.key_space,
+        hot_share=args.hot_share,
     )
     write_events(ev, args.out)
     n = spark.read.parquet(args.out).count()
@@ -508,6 +509,10 @@ def main(argv=None) -> None:
                    help="distinct-path image bound; default reproduces the "
                         "~855k-key churn-axis protocol, raise for key-axis "
                         "sweeps where |keys| tracks n_events")
+    g.add_argument("--hot-share", type=float, default=0.0,
+                   help="fraction of EVENTS collapsed onto a single hot "
+                        "(repo, path) key — the skew/salting stress shape; "
+                        "0.0 (default) keeps the pinned uniform grid")
     g.add_argument("--key-space", choices=["grid", "wide"], default="grid",
                    help="'grid' (default) reproduces the committed protocol "
                         "(key ids capped at ~1M by the uniform grid); 'wide' "

@@ -60,6 +60,7 @@ def change_events(
     content_max_reps: int = 16,
     path_mod: int = 997,
     key_space: str = "grid",
+    hot_share: float = 0.0,
 ) -> DataFrame:
     """Build the deterministic change-event DataFrame.
 
@@ -87,6 +88,17 @@ def change_events(
         key_id = F.pmod(F.xxhash64(F.col("id"), F.lit("key")), F.lit(n_keys)).cast("long")
     else:
         key_id = F.floor(_u(F.col("id"), "key") * n_keys).cast("long")
+    if hot_share > 0.0:
+        # hot-key stress (salting/skew target at matrix scale): a
+        # deterministic ``hot_share`` fraction of EVENTS collapses onto
+        # key 0 — one (repo, path) identity receiving that share of the
+        # whole log, the round-4 Zipf-stress shape as a generator knob.
+        # Default 0.0 leaves the pinned-bit-identical grid untouched.
+        key_id = (
+            F.when(_u(F.col("id"), "hot") < F.lit(hot_share), F.lit(0))
+            .otherwise(key_id)
+            .cast("long")
+        )
     repo_id = F.floor(
         F.pow(_u(key_id, "repo"), F.lit(zipf_exponent)) * n_repos
     ).cast("long")

@@ -106,3 +106,26 @@ def test_generator_wide_key_space(spark):
     # deterministic across partitioning, like the grid mode
     wide7 = change_events(spark, n, key_space="wide", num_partitions=7, **kw)
     assert wide.exceptAll(wide7).isEmpty() and wide7.exceptAll(wide).isEmpty()
+
+
+def test_generator_hot_share_collapses_events_onto_one_key(spark):
+    n = 20_000
+    share = 0.5
+    ev = change_events(spark, n, hot_share=share)
+    top = (
+        ev.groupBy("repo", "path").count()
+        .orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    total = ev.count()
+    # the hot key holds ~share of all events (u < share is exact in
+    # expectation; allow sampling slack) and vastly more than the ~3
+    # events/key uniform background
+    assert abs(top["count"] / total - share) < 0.05
+    # default stays the pinned uniform grid: bit-identical to hot_share=0
+    base = change_events(spark, 2_000)
+    zero = change_events(spark, 2_000, hot_share=0.0)
+    assert base.exceptAll(zero).isEmpty() and zero.exceptAll(base).isEmpty()
+    # deterministic across partitioning like every other knob
+    a = change_events(spark, 2_000, hot_share=0.3, num_partitions=2)
+    b = change_events(spark, 2_000, hot_share=0.3, num_partitions=7)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
