@@ -197,6 +197,11 @@ CONFIGS = [
     # measured a 1.5x penalty here in round 3)
     ("auto_salt_multi", "pandas-UDF sha256, incremental 4-batch replay, --salt auto",
      ["--salt", "auto"]),
+    # MoR + adaptive salt: the apples-to-apples skew comparison against
+    # mor_multi (same sink path, only the dedup strategy differs) — the
+    # pair the --hot-share matrix reads
+    ("mor_auto", "pandas-UDF sha256, incremental 4-batch MoR replay, --salt auto",
+     ["--mor", "--salt", "auto"]),
     # thin-row LWW shuffle pruning (round 5, VERDICT r4 next #4): prune
     # each batch to its winner tuples with a column-pruned map-combined
     # aggregate before the fat bucket exchange, then re-join content for
