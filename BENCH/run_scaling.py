@@ -212,6 +212,13 @@ CONFIGS = [
     # auto's width gate (thin_min_payload_bytes) correctly refuses the
     # protocol's ~190 B content, which would make an auto config measure
     # the plain path under a thin label.
+    # the literal north-rule job shape: the Structured-Streaming tail
+    # (checkpointed foreachBatch micro-batches, one-job fused metrics)
+    # rather than the batch driver loop — ties the streaming surface to
+    # the N-vs-4N criterion. --thin off: stream mode refuses auto by
+    # design (per-micro-batch dup ratio is unobservable up front).
+    ("mor_stream", "pandas-UDF sha256, streaming tail (availableNow), MoR micro-batches",
+     ["--mor", "--mode", "stream", "--max-files-per-trigger", "4", "--thin", "off"]),
     ("mor_thin", "pandas-UDF sha256, incremental 4-batch MoR replay, --thin forced",
      ["--mor", "--thin", "thin"]),
     ("udf_multi_thin", "pandas-UDF sha256, incremental 4-batch replay, --thin forced",
